@@ -1,0 +1,209 @@
+"""Command-line entry point — the headless equivalent of the reference's
+interactive demo loop (TestMain.cpp:173-256: poll keys, update MVP +
+MediaScroll from the clock, render, present). On a TPU pod there is no
+window; the loop becomes an animation renderer writing PNG frames, plus
+subcommands for single frames, inverse-render fits, and info.
+
+Usage:
+  python -m volumetricrenderer_tpu render  --preset config2 --out frame.png
+  python -m volumetricrenderer_tpu animate --preset config2 --frames 48 \
+      --orbit --out-dir frames/
+  python -m volumetricrenderer_tpu fit     --size 32 --steps 100 \
+      --out-dir fit_run/
+  python -m volumetricrenderer_tpu info
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--preset", default="config1",
+                   help="named BASELINE preset (config1..config5, reference)")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "reference", "pallas"])
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--volume-size", type=int, default=None)
+
+
+def _resolve_preset(args):
+    from .config import get_preset
+    try:
+        p = get_preset(args.preset)
+    except KeyError as e:
+        print(f"error: {e.args[0]}", file=sys.stderr)
+        raise SystemExit(2)
+    if args.width or args.height:
+        cam = dataclasses.replace(
+            p.camera,
+            width=args.width or p.camera.width,
+            height=args.height or p.camera.height)
+        p = dataclasses.replace(p, camera=cam)
+    if args.volume_size:
+        p = dataclasses.replace(
+            p, volume=dataclasses.replace(p.volume, size=args.volume_size))
+    return p
+
+
+def cmd_render(args):
+    import jax
+
+    from .render import render_preset
+    from .utils.clock import Clock
+    from .utils.image import write_png
+    from .utils.metrics import get_logger
+
+    preset = _resolve_preset(args)
+    clock = Clock()
+    img = jax.block_until_ready(
+        render_preset(preset, t=args.time, backend=args.backend))
+    dt = clock.stamp()
+    write_png(args.out, img)
+    rays = preset.camera.width * preset.camera.height
+    get_logger().info("rendered %s %dx%d in %.3fs (%.2f Mrays/s) -> %s",
+                      preset.name, preset.camera.width, preset.camera.height,
+                      dt, rays / dt / 1e6, args.out)
+    return 0
+
+
+def cmd_animate(args):
+    import jax
+
+    from .models.scene import build_volume
+    from .ops.camera import make_camera, orbit_camera
+    from .ops.integrate import reference_media_scroll
+    from .render import render_image
+    from .utils.clock import Clock
+    from .utils.image import write_png
+    from .utils.metrics import MetricsWriter, get_logger
+
+    preset = _resolve_preset(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+    grid = build_volume(preset.volume)
+    n_ch = grid.shape[-1] if grid.ndim == 4 else 1
+    metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
+    log = get_logger()
+    clock = Clock()
+    for i in range(args.frames):
+        t = i / args.fps
+        if args.orbit:
+            import math
+            cam = orbit_camera(2 * math.pi * i / args.frames,
+                               fov_y_degrees=preset.camera.fov_y_degrees,
+                               width=preset.camera.width,
+                               height=preset.camera.height)
+        else:
+            cam = make_camera(preset.camera)
+        scroll = reference_media_scroll(t, n_channels=n_ch)
+        img = jax.block_until_ready(
+            render_image(grid, cam, preset.render, preset.medium,
+                         preset.light, scroll=scroll, backend=args.backend))
+        path = os.path.join(args.out_dir, f"frame_{i:05d}.png")
+        write_png(path, img)
+        dt = clock.stamp()
+        metrics.write(frame=i, seconds=dt,
+                      mrays_per_s=preset.camera.width * preset.camera.height
+                      / dt / 1e6)
+    metrics.close()
+    log.info("wrote %d frames to %s", args.frames, args.out_dir)
+    return 0
+
+
+def cmd_fit(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import CameraConfig, LightConfig, MediumConfig, RenderConfig
+    from .fit import fit_grid
+    from .models.scene import cloud_volume
+    from .ops.camera import camera_rays, make_camera
+    from .ops.integrate import render_rays
+    from .utils.checkpoint import save_checkpoint
+    from .utils.image import write_png
+    from .utils.metrics import MetricsWriter, get_logger
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    cfg = RenderConfig(max_steps=64, step_size=4.0 / 64.0, emission=True)
+    med = MediumConfig(combine="single", density=8.0)
+    light = LightConfig()
+    cam = make_camera(CameraConfig(width=args.image_size,
+                                   height=args.image_size))
+
+    true_grid = cloud_volume(args.size, seed=7)
+    o, d = camera_rays(cam)
+    target = render_rays(true_grid, o, d, cfg, med, light)[..., :3]
+    write_png(os.path.join(args.out_dir, "target.png"), np.asarray(target))
+
+    metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
+    ckpt_dir = os.path.join(args.out_dir, "ckpt")
+    res = fit_grid(
+        target, cam, cfg, med, light, grid_size=args.size,
+        steps=args.steps, learning_rate=args.lr, metrics=metrics,
+        checkpoint_fn=lambda s, g, st: save_checkpoint(ckpt_dir, s, g, st),
+        checkpoint_every=max(args.steps // 4, 1))
+    final = render_rays(res.grid, o, d, cfg, med, light)
+    write_png(os.path.join(args.out_dir, "fitted.png"),
+              np.asarray(final[..., :3]))
+    metrics.close()
+    get_logger().info("fit: loss %.6f -> %.6f; artifacts in %s",
+                      res.losses[0], res.losses[-1], args.out_dir)
+    return 0
+
+
+def cmd_info(args):
+    import jax
+    print("devices:", jax.devices())
+    print("backend:", jax.default_backend())
+    from .config import PRESETS
+    for name, p in PRESETS.items():
+        print(f"  preset {name}: volume {p.volume.size}^3, "
+              f"{p.camera.width}x{p.camera.height}, "
+              f"emission={p.render.emission}, "
+              f"shadow_steps={p.light.shadow_steps}")
+    return 0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="volumetricrenderer_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render one frame to PNG")
+    _add_common(pr)
+    pr.add_argument("--time", type=float, default=0.0,
+                    help="animation time (drives MediaScroll)")
+    pr.add_argument("--out", default="frame.png")
+    pr.set_defaults(fn=cmd_render)
+
+    pa = sub.add_parser("animate", help="render an animation frame sequence")
+    _add_common(pa)
+    pa.add_argument("--frames", type=int, default=24)
+    pa.add_argument("--fps", type=float, default=24.0)
+    pa.add_argument("--orbit", action="store_true",
+                    help="orbit camera path (config 4)")
+    pa.add_argument("--out-dir", default="frames")
+    pa.set_defaults(fn=cmd_animate)
+
+    pf = sub.add_parser("fit", help="inverse-render fit demo (config 3)")
+    pf.add_argument("--size", type=int, default=32)
+    pf.add_argument("--image-size", type=int, default=64)
+    pf.add_argument("--steps", type=int, default=100)
+    pf.add_argument("--lr", type=float, default=5e-2)
+    pf.add_argument("--out-dir", default="fit_run")
+    pf.set_defaults(fn=cmd_fit)
+
+    pi = sub.add_parser("info", help="devices + presets")
+    pi.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    from .utils.metrics import init_logs
+    init_logs()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

