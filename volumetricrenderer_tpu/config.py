@@ -91,6 +91,17 @@ class RenderConfig:
     # Transmittance early-exit threshold (reference has none: frag.glsl:57-75).
     early_stop_transmittance: float = 1e-3
     dtype: str = "float32"  # compute dtype; grids may be bf16
+    # Integration quadrature:
+    #   "fixed":  per-ray fixed steps (frag.glsl:42-46 parity; gather-bound,
+    #             served by ops/integrate.render_rays).
+    #   "sliced": slice-plane crossings with per-ray segment lengths (the
+    #             MXU slice-sweep, ops/sweep.py; oracle
+    #             ops/integrate.render_rays_sliced). Same integral,
+    #             different discretization — and ~3 orders of magnitude
+    #             faster on TPU.
+    quadrature: str = "fixed"
+    # Base-grid oversampling for the sweep's intermediate image.
+    sweep_supersample: float = 1.5
 
     @property
     def jnp_dtype(self):
@@ -164,7 +175,7 @@ PRESETS = {
         name="config1",
         volume=_perlin_volume(64),
         camera=CameraConfig(width=256, height=256),
-        render=RenderConfig(),
+        render=RenderConfig(quadrature="sliced"),
         medium=MediumConfig(combine="single"),
         light=LightConfig(),
     ),
@@ -173,7 +184,7 @@ PRESETS = {
         name="config2",
         volume=_fbm_cloud(128),
         camera=CameraConfig(width=512, height=512),
-        render=RenderConfig(emission=True),
+        render=RenderConfig(emission=True, quadrature="sliced"),
         medium=MediumConfig(combine="single", density=8.0),
         light=LightConfig(),
     ),
@@ -182,7 +193,7 @@ PRESETS = {
         name="config3",
         volume=_fbm_cloud(256),
         camera=CameraConfig(width=1024, height=1024),
-        render=RenderConfig(emission=True),
+        render=RenderConfig(emission=True, quadrature="sliced"),
         medium=MediumConfig(combine="single", density=8.0),
         light=LightConfig(),
     ),
@@ -191,7 +202,7 @@ PRESETS = {
         name="config4",
         volume=_fbm_cloud(256),
         camera=CameraConfig(width=1920, height=1080),
-        render=RenderConfig(emission=True),
+        render=RenderConfig(emission=True, quadrature="sliced"),
         medium=MediumConfig(combine="single", density=8.0),
         light=LightConfig(shadow_steps=32),
     ),
@@ -200,7 +211,7 @@ PRESETS = {
         name="config5",
         volume=_fbm_cloud(512),
         camera=CameraConfig(width=1920, height=1080),
-        render=RenderConfig(emission=True),
+        render=RenderConfig(emission=True, quadrature="sliced"),
         medium=MediumConfig(combine="single", density=8.0),
         light=LightConfig(),
     ),

@@ -37,6 +37,7 @@ __all__ = [
     "reference_media_scroll",
     "sample_sigma",
     "render_rays",
+    "render_rays_sliced",
     "transform_rays",
 ]
 
@@ -206,4 +207,93 @@ def render_rays(
         rgb = jnp.where(hit[..., None], gray[..., None],
                         jnp.broadcast_to(background, batch_shape + (3,)))
         alpha = jnp.where(hit, 1.0, 0.0)
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
+def render_rays_sliced(
+    grid,
+    origins,
+    directions,
+    plan,
+    cfg: RenderConfig,
+    medium: MediumConfig,
+    light: Optional[LightConfig] = None,
+    scroll=None,
+    light_volume=None,
+):
+    """Gather-based oracle for the *sliced* quadrature (ops/sweep.py).
+
+    Marches each ray by sampling at the sweep plan's slice-plane crossings
+    with per-ray segment lengths — numerically the same integral the
+    MXU slice-sweep computes, expressed per ray so it can be checked on
+    CPU against closed forms and so `sweep_render` can be allclose-tested
+    end to end (slow path; tests only).
+    """
+    box_min = jnp.asarray(cfg.box_min, jnp.float32)
+    box_range = jnp.asarray(cfg.box_max, jnp.float32) - box_min
+    c_k, c_a, c_b = plan.coord_order
+    w = directions / box_range
+    e01 = (origins - box_min) / box_range
+    wk = w[..., c_k]
+    u = w[..., c_b] / wk
+    v = w[..., c_a] / wk
+    S = plan.slice_z.shape[0]
+    rng = plan.box_range  # (k, a, b) order
+    seglen = (1.0 / S) * jnp.sqrt(
+        rng[0] ** 2 + (v * rng[1]) ** 2 + (u * rng[2]) ** 2)
+
+    lt = light if light is not None else LightConfig()
+    lcol = jnp.asarray(lt.color, jnp.float32)
+    batch_shape = origins.shape[:-1]
+    emission = cfg.emission
+
+    def step_body(carry, z_s):
+        acc, trans, color, hitm = carry
+        delta = z_s - e01[..., c_k]
+        pa = e01[..., c_a] + delta * v
+        pb = e01[..., c_b] + delta * u
+        pos = jnp.zeros(batch_shape + (3,), jnp.float32)
+        pos = pos.at[..., c_k].set(z_s)
+        pos = pos.at[..., c_a].set(pa)
+        pos = pos.at[..., c_b].set(pb)
+        inbox = ((pa >= 0.0) & (pa <= 1.0) & (pb >= 0.0) & (pb <= 1.0)
+                 & (delta * plan.sign > 0.0))
+        maskf = inbox.astype(jnp.float32)
+        sigma = sample_sigma(grid, pos, medium, scroll, cfg.address_mode)
+        sigma = sigma * maskf
+        if emission:
+            live = (trans > cfg.early_stop_transmittance).astype(jnp.float32)
+            alpha = live * (1.0 - jnp.exp(-medium.density * sigma * seglen))
+            if light_volume is not None:
+                from .sampling import sample_trilinear
+                lT = sample_trilinear(light_volume, pos, cfg.address_mode)
+                shade = lt.ambient + (1.0 - lt.ambient) * jnp.clip(
+                    lT, 0.0, 1.0)
+            else:
+                shade = 1.0
+            wgt = trans * alpha * shade
+            color = color + wgt[..., None] * lcol
+            trans = trans * (1.0 - alpha)
+        else:
+            acc = acc + sigma * seglen
+            hitm = jnp.maximum(hitm, maskf)
+        return (acc, trans, color, hitm), None
+
+    init = (jnp.zeros(batch_shape, jnp.float32),
+            jnp.ones(batch_shape, jnp.float32),
+            jnp.zeros(batch_shape + (3,), jnp.float32),
+            jnp.zeros(batch_shape, jnp.float32))
+    (acc, trans, color, hitm), _ = jax.lax.scan(
+        jax.checkpoint(step_body), init, plan.slice_z)
+
+    background = jnp.asarray(cfg.background, jnp.float32)
+    if emission:
+        rgb = color + trans[..., None] * background
+        alpha = 1.0 - trans
+    else:
+        gray = 1.0 - jnp.exp(-medium.density * acc)
+        hitp = jnp.clip(hitm, 0.0, 1.0)
+        rgb = (gray[..., None] * hitp[..., None]
+               + background * (1.0 - hitp[..., None]))
+        alpha = hitp
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)

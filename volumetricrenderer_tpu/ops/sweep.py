@@ -1,0 +1,702 @@
+"""Slice-sweep volume renderer — the TPU-native hot path.
+
+The reference's hot loop is a per-pixel serial ray march with 4 trilinear
+texture fetches per step (shaders/frag.glsl:57-75) — a *gather-bound*
+formulation that maps perfectly onto GPU texture units and catastrophically
+onto TPUs (measured: XLA lowers the 8-corner gathers to ~10M lookups/s on
+v5e, ~0.1M rays/s end to end). This module *reformulates* the integral
+instead of translating the shader: a shear-warp factorization (after
+Lacroute & Levoy '94) re-targeted at the MXU.
+
+Key identity: for a pinhole camera, the sample position of a ray on volume
+slice plane k = z_s is **affine** in the ray's slope coordinates
+(u, v) = (w_b/w_k, w_a/w_k):
+
+    a01 = e_a + (z_s - e_k) * v ,   b01 = e_b + (z_s - e_k) * u .
+
+So rendering onto a regular (v, u) "base grid" makes every slice's 2D
+resampling *separable and affine* — two banded matrix multiplies
+(ops/resample.py), i.e. pure MXU work:
+
+    R_s = Wa(z_s) @ G_s @ Wb(z_s)^T .
+
+The volume integral becomes a `lax.scan` over slices of (2 matmuls +
+elementwise Beer-Lambert compositing), with a final once-per-frame
+projective warp from the base grid to actual screen pixels. Gradients come
+from autodiff: the backward pass is *transposed matmuls* — no scatter, no
+gather, no atomics (the contention-free voxel-gradient accumulation
+SURVEY.md §7 "Hard parts" asks for falls out of the formulation).
+
+Quadrature note: the sweep samples at slice-plane crossings with per-ray
+segment lengths, not at fixed per-ray steps like frag.glsl:42-46. That is a
+*different, standard* quadrature of the same integral; RenderConfig.quadrature
+selects "fixed" (reference parity, ops/integrate.render_rays) or "sliced"
+(this module; its matching jnp oracle is ops/integrate.render_rays_sliced).
+Both converge to the same integral as steps -> inf.
+
+Scaling (SURVEY.md §5.7-5.9): slices along the sweep axis are this
+framework's sequence dimension. The compositing carry (color, transmittance)
+is an **associative monoid** (C = C1 + T1*C2, T = T1*T2), so a z-sharded
+volume (config 5) renders each slab independently and combines slab images
+in closed form — see parallel/.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LightConfig, MediumConfig, RenderConfig
+from .camera import Camera, camera_rays
+from .resample import linear_resample_matrix, sample_bilinear_2d
+from .sampling import apply_address_mode
+
+__all__ = ["SweepPlan", "plan_sweep", "sweep_render", "base_rays",
+           "warp_base_to_pixels"]
+
+
+# Grid dims are (z, y, x) = dims (0, 1, 2); coord axes are (x, y, z).
+# coord c <-> grid dim (2 - c).
+def _axes_for(coord_axis: int) -> Tuple[Tuple[int, int, int],
+                                        Tuple[int, int, int]]:
+    """Returns (perm, coord_order): perm transposes the grid so the sweep
+    axis is dim 0 (remaining grid dims keep their relative order, becoming
+    the slice's rows=a and cols=b); coord_order = (c_k, c_a, c_b)."""
+    gd_k = 2 - coord_axis
+    rest = [d for d in range(3) if d != gd_k]
+    perm = (gd_k, rest[0], rest[1])
+    coord_order = (coord_axis, 2 - rest[0], 2 - rest[1])
+    return perm, coord_order
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _camera_rays_np(cam: Camera):
+    """Host-side numpy twin of ops/camera.camera_rays (plans are built on
+    host; pulling per-pixel jnp arrays back through a device tunnel for a
+    1080p plan would cost more than the render)."""
+    w, h = cam.width, cam.height
+    eye = np.asarray(cam.eye, np.float64)
+    right = np.asarray(cam.right, np.float64)
+    up = np.asarray(cam.up, np.float64)
+    forward = np.asarray(cam.forward, np.float64)
+    tan_half = float(np.asarray(cam.tan_half_fov))
+    xs = (np.arange(w, dtype=np.float64) + 0.5) / w * 2.0 - 1.0
+    ys = 1.0 - (np.arange(h, dtype=np.float64) + 0.5) / h * 2.0
+    px, py = np.meshgrid(xs, ys, indexing="xy")
+    dirs = (px[..., None] * (right * tan_half * cam.aspect)
+            + py[..., None] * (up * tan_half) + forward)
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.broadcast_to(eye, dirs.shape)
+    return origins, dirs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SweepPlan:
+    """Static geometry of one sweep: dominant axis, base grid, slice set,
+    and the screen-warp coordinates. Array fields may be traced (animated
+    cameras); meta fields are static under jit."""
+
+    # --- data (traced) ---
+    eye01: jnp.ndarray       # (3,) eye in normalized coords, (k, a, b) order
+    v_grid: jnp.ndarray      # (Hb,) slope along a per base row
+    u_grid: jnp.ndarray      # (Wb,) slope along b per base col
+    slice_z: jnp.ndarray     # (S,) normalized sweep-axis slice positions,
+                             #      ordered front-to-back
+    seglen: jnp.ndarray      # (Hb, Wb) world path length per slice step
+    warp_rows01: jnp.ndarray  # (H, W) pixel -> base-grid row coords
+    warp_cols01: jnp.ndarray  # (H, W) pixel -> base-grid col coords
+    warp_tile_lo: jnp.ndarray  # (n_base_tiles, 2) pixel-rect origin per
+                               #  base tile (adjoint-splat gather windows)
+    box_range: jnp.ndarray   # (3,) world box extent, (k, a, b) order
+    box_min: jnp.ndarray     # (3,) world box min, (k, a, b) order
+
+    # --- meta (static) ---
+    axis: int = dataclasses.field(metadata=dict(static=True))  # coord axis
+    sign: int = dataclasses.field(metadata=dict(static=True))  # ray dir along axis
+    perm: Tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
+    coord_order: Tuple[int, int, int] = dataclasses.field(
+        metadata=dict(static=True))
+    identity_warp: bool = dataclasses.field(metadata=dict(static=True))
+    warp_band: Tuple[int, int] = dataclasses.field(
+        metadata=dict(static=True))  # pixel-rect (rows, cols) per base tile
+    warp_blk: int = dataclasses.field(metadata=dict(static=True))  # base tile
+
+    @property
+    def base_shape(self):
+        return (self.v_grid.shape[0], self.u_grid.shape[0])
+
+
+def plan_sweep(
+    camera: Camera,
+    grid_shape: Tuple[int, ...],
+    cfg: RenderConfig,
+    world_to_local=None,
+    supersample: float = 1.5,
+    n_slices: Optional[int] = None,
+    max_base_dim: int = 3072,
+    min_axis_component: float = 0.05,
+) -> SweepPlan:
+    """Build the static sweep geometry for a concrete camera (host-side).
+
+    Chooses the sweep axis as the coordinate axis along which *every* pixel
+    ray has the largest guaranteed direction component; rays near-parallel
+    to every axis plane (|w_k| < min_axis_component, only possible with
+    very wide FOV) are unsupported — callers fall back to the gather
+    integrator. world_to_local mirrors frag.glsl:36-37's ray transform
+    (the rotating-cube interaction, TestMain.cpp:177-190)."""
+    o, d = _camera_rays_np(camera)
+    if world_to_local is not None:
+        m = np.asarray(world_to_local, np.float64)
+        o = o @ m[:3, :3].T + m[:3, 3]
+        d = d @ m[:3, :3].T
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    box_min = np.asarray(cfg.box_min, np.float64)
+    box_range = np.asarray(cfg.box_max, np.float64) - box_min
+    e01_xyz = (np.asarray(o.reshape(-1, 3)[0]) - box_min) / box_range
+    w = d / box_range  # direction in normalized coords (unnormalized length)
+
+    # Dominant axis: maximize the minimum |w_c| over all pixels.
+    min_abs = np.abs(w).reshape(-1, 3).min(axis=0)
+    axis = int(np.argmax(min_abs))
+    if min_abs[axis] < min_axis_component:
+        raise ValueError(
+            f"sweep unsupported: min |w_axis| = {min_abs[axis]:.4f} < "
+            f"{min_axis_component} (rays near-parallel to every axis plane)")
+    wk = w[..., axis]
+    sgn = np.sign(wk.reshape(-1)[0])
+    if not np.all(np.sign(wk) == sgn):
+        raise ValueError("sweep unsupported: mixed ray direction signs "
+                         "along the dominant axis")
+    sign = int(sgn)
+
+    perm, coord_order = _axes_for(axis)
+    c_k, c_a, c_b = coord_order
+    u = w[..., c_b] / wk  # (H, W)
+    v = w[..., c_a] / wk
+
+    # Slices at voxel layer centers of the (transposed) grid by default.
+    depth = grid_shape[perm[0]]
+    S = int(n_slices) if n_slices is not None else int(depth)
+    z01 = (np.arange(S) + 0.5) / S
+    slice_z = z01 if sign > 0 else z01[::-1]  # front-to-back
+
+    # Signed slice-delta range in front of the eye (for the box slope
+    # footprint below).
+    deltas = z01 - e01_xyz[c_k]
+    front = deltas * sign > 0
+    delta_near = deltas[front][np.argmin(np.abs(deltas[front]))] \
+        if front.any() else None
+
+    # Base grid per transverse axis. Two key choices (both exact — the
+    # resample matrices accept arbitrary monotone row positions):
+    #  * extent: the pixel slope range CLIPPED to the box's slope
+    #    footprint (slopes that never enter [0,1] over any front slice
+    #    cannot contribute; they become explicit warp-time misses). For
+    #    oblique cameras this shrinks the base image several-fold.
+    #  * spacing: uniform in atan(slope). Pixels of a pinhole camera are
+    #    ~uniform in angle, so slope-uniform spacing would waste most of
+    #    its resolution near the steep end of an oblique view.
+    def base_axis(q, e_t):
+        th = np.arctan(q)
+        # box footprint in slope space (guard: eye near the first slice
+        # plane -> unbounded slopes -> no clipping)
+        lo, hi = float(q.min()), float(q.max())
+        if delta_near is not None and abs(delta_near) > 0.02:
+            cand = [(b - e_t) / dd for b in (0.0, 1.0)
+                    for dd in (delta_near, float(deltas[front].max()
+                                                 if sign > 0 else
+                                                 deltas[front].min()))]
+            lo = max(lo, min(cand))
+            hi = min(hi, max(cand))
+            if not lo < hi:  # camera never sees the box on this axis
+                lo, hi = float(q.min()), float(q.max())
+        th_lo, th_hi = math.atan(lo), math.atan(hi)
+        # pixel angular spacing (median over adjacent pixels)
+        dth = []
+        if th.shape[1] > 1:
+            dth.append(np.abs(np.diff(th, axis=1)).reshape(-1))
+        if th.shape[0] > 1:
+            dth.append(np.abs(np.diff(th, axis=0)).reshape(-1))
+        dth = np.concatenate(dth) if dth else np.zeros(0)
+        dth = dth[dth > 1e-12]
+        spacing = np.median(dth) if dth.size else 0.0
+        if not spacing or not np.isfinite(spacing):
+            spacing = max(th_hi - th_lo, 1e-6) / 64
+        n = int(math.ceil((th_hi - th_lo) / spacing * supersample)) + 2
+        n = max(64, min(_round_up(n, 64), max_base_dim))
+        pad = (th_hi - th_lo) / n
+        th_lo, th_hi = th_lo - pad, th_hi + pad
+        centers = th_lo + (np.arange(n) + 0.5) / n * (th_hi - th_lo)
+        return np.tan(centers), th_lo, th_hi, n
+
+    u_grid, thu_lo, thu_hi, Wb = base_axis(u, e01_xyz[c_b])
+    v_grid, thv_lo, thv_hi, Hb = base_axis(v, e01_xyz[c_a])
+
+    rng_perm = box_range[[c_k, c_a, c_b]]
+
+    # Per-pixel warp coordinates, segment lengths, and the adjoint-splat
+    # band bounds are computed ON DEVICE in a single jitted call: host-built
+    # HxW arrays would be megabytes of host->device transfer per plan
+    # (hundreds of seconds through a tunneled chip), and eager op-by-op
+    # dispatch is nearly as bad.
+    w2l = (np.eye(4) if world_to_local is None
+           else np.asarray(world_to_local)).astype(np.float32)
+    seglen, warp_rows01, warp_cols01, tile_lo, band = _device_plan(
+        jnp.asarray(camera.right, jnp.float32),
+        jnp.asarray(camera.up, jnp.float32),
+        jnp.asarray(camera.forward, jnp.float32),
+        jnp.asarray(camera.tan_half_fov, jnp.float32),
+        jnp.asarray(w2l, jnp.float32),
+        jnp.asarray(box_range, jnp.float32),
+        jnp.asarray(u_grid, jnp.float32),
+        jnp.asarray(v_grid, jnp.float32),
+        jnp.asarray([thu_lo, thu_hi, thv_lo, thv_hi], jnp.float32),
+        jnp.asarray(rng_perm, jnp.float32),
+        width=camera.width, height=camera.height,
+        aspect=float(camera.aspect), c_k=c_k, c_a=c_a, c_b=c_b,
+        n_slices=S, tile=_WARP_TILE, hb=Hb, wb=Wb,
+    )
+    band_np = np.asarray(band)
+    band_r, band_c = int(band_np[0]), int(band_np[1])
+    if int(band_np[2]) > 3 or int(band_np[3]) > 3:
+        raise ValueError(
+            "sweep unsupported: an 8px pixel block spans >3 base tiles "
+            "(extreme base/pixel density ratio); lower supersample")
+    tile_lo = jnp.minimum(
+        tile_lo,
+        jnp.asarray([max(camera.height - band_r, 0),
+                     max(camera.width - band_c, 0)], jnp.int32))
+    tile_lo = jnp.maximum(tile_lo, 0)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return SweepPlan(
+        eye01=f32(e01_xyz[[c_k, c_a, c_b]]),
+        v_grid=f32(v_grid),
+        u_grid=f32(u_grid),
+        slice_z=f32(np.ascontiguousarray(slice_z)),
+        seglen=seglen,
+        warp_rows01=warp_rows01,
+        warp_cols01=warp_cols01,
+        warp_tile_lo=tile_lo,
+        box_range=f32(rng_perm),
+        box_min=f32(box_min[[c_k, c_a, c_b]]),
+        axis=axis,
+        sign=sign,
+        perm=perm,
+        coord_order=coord_order,
+        identity_warp=False,
+        warp_band=(band_r, band_c),
+        warp_blk=_WARP_TILE,
+    )
+
+
+_WARP_TILE = 64  # base-tile edge for the warp adjoint splat
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "aspect", "c_k", "c_a", "c_b",
+                          "n_slices", "tile", "hb", "wb"))
+def _device_plan(right, up, forward, tan_half, w2l, box_range, u_grid,
+                 v_grid, th_bounds, rng_perm, *, width, height, aspect,
+                 c_k, c_a, c_b, n_slices, tile, hb, wb):
+    """Device-side plan arrays: seglen map, pixel->base warp coords (atan
+    space), and per-pixel-tile base windows for the warp adjoint."""
+    seglen = (1.0 / n_slices) * jnp.sqrt(
+        rng_perm[0] ** 2
+        + (v_grid[:, None] * rng_perm[1]) ** 2
+        + (u_grid[None, :] * rng_perm[2]) ** 2)
+
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    px, py = jnp.meshgrid(xs, ys, indexing="xy")
+    dirs = (px[..., None] * (right * tan_half * aspect)
+            + py[..., None] * (up * tan_half) + forward)
+    dirs = dirs @ w2l[:3, :3].T  # slopes are scale-invariant: no normalize
+    w = dirs / box_range
+    u = w[..., c_b] / w[..., c_k]
+    v = w[..., c_a] / w[..., c_k]
+    thu_lo, thu_hi, thv_lo, thv_hi = (th_bounds[0], th_bounds[1],
+                                      th_bounds[2], th_bounds[3])
+    rows01 = (jnp.arctan(v) - thv_lo) / (thv_hi - thv_lo)
+    cols01 = (jnp.arctan(u) - thu_lo) / (thu_hi - thu_lo)
+
+    # Adjoint gather rects: for each (tile x tile) BASE tile, the bounding
+    # PIXEL rectangle of pixels whose bilinear splat touches it. Base tiles
+    # are disjoint, so the adjoint becomes independent windowed matmuls
+    # reassembled by reshape — no sequential update chain and no blow-up
+    # when the box footprint covers few pixels. Computed via an 8x8
+    # pixel-block pre-reduction + a tiny scatter-min/max (plan-time only).
+    valid = _in01(rows01) & _in01(cols01)
+    nty, ntx = hb // tile, wb // tile
+
+    def texel_range(q01, n):
+        p = q01 * n - 0.5
+        i0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, n - 1)
+        return i0, jnp.clip(i0 + 1, 0, n - 1)
+
+    r0, r1 = texel_range(rows01, hb)
+    c0, c1 = texel_range(cols01, wb)
+    PB = 8
+    nby, nbx = -(-height // PB), -(-width // PB)
+    py_pad, px_pad = nby * PB - height, nbx * PB - width
+
+    def block_reduce(x, fill, op):
+        xp = jnp.pad(jnp.where(valid, x, fill),
+                     ((0, py_pad), (0, px_pad)), constant_values=fill)
+        xb = xp.reshape(nby, PB, nbx, PB)
+        return op(op(xb, axis=3), axis=1)  # (nby, nbx)
+
+    big = jnp.int32(1 << 30)
+    brmin = block_reduce(r0, big, jnp.min)
+    brmax = block_reduce(r1, -1, jnp.max)
+    bcmin = block_reduce(c0, big, jnp.min)
+    bcmax = block_reduce(c1, -1, jnp.max)
+    bvalid = brmax >= 0
+
+    by = jax.lax.broadcasted_iota(jnp.int32, (nby, nbx), 0)
+    bx = jax.lax.broadcasted_iota(jnp.int32, (nby, nbx), 1)
+    # pixel bounds of each block (conservative to block granularity)
+    py0_b, py1_b = by * PB, jnp.minimum(by * PB + PB - 1, height - 1)
+    px0_b, px1_b = bx * PB, jnp.minimum(bx * PB + PB - 1, width - 1)
+
+    tr0, tr1 = brmin // tile, brmax // tile
+    tc0, tc1 = bcmin // tile, bcmax // tile
+    # scatter targets padded with a dump slot for masked-out updates
+    py0 = jnp.full((nty + 1, ntx + 1), big, jnp.int32)
+    py1 = jnp.full((nty + 1, ntx + 1), -1, jnp.int32)
+    px0 = jnp.full((nty + 1, ntx + 1), big, jnp.int32)
+    px1 = jnp.full((nty + 1, ntx + 1), -1, jnp.int32)
+    for dr in range(3):
+        for dc in range(3):
+            tr = tr0 + dr
+            tc = tc0 + dc
+            m = bvalid & (tr <= tr1) & (tc <= tc1)
+            ti = jnp.where(m, tr, nty).ravel()
+            tj = jnp.where(m, tc, ntx).ravel()
+            py0 = py0.at[ti, tj].min(py0_b.ravel())
+            py1 = py1.at[ti, tj].max(py1_b.ravel())
+            px0 = px0.at[ti, tj].min(px0_b.ravel())
+            px1 = px1.at[ti, tj].max(px1_b.ravel())
+    py0, py1 = py0[:nty, :ntx], py1[:nty, :ntx]
+    px0, px1 = px0[:nty, :ntx], px1[:nty, :ntx]
+    nonempty = py1 >= 0
+    band_r = jnp.clip(jnp.max(jnp.where(nonempty, py1 - py0 + 1, 1)),
+                      1, height)
+    band_c = jnp.clip(jnp.max(jnp.where(nonempty, px1 - px0 + 1, 1)),
+                      1, width)
+    tile_lo = jnp.stack([jnp.where(nonempty, py0, 0).ravel(),
+                         jnp.where(nonempty, px0, 0).ravel()], axis=-1)
+    span_r = jnp.max(jnp.where(bvalid, tr1 - tr0 + 1, 1))
+    span_c = jnp.max(jnp.where(bvalid, tc1 - tc0 + 1, 1))
+    return (seglen, rows01, cols01, tile_lo,
+            jnp.stack([band_r, band_c, span_r, span_c]))
+
+
+def base_rays(plan: SweepPlan):
+    """World-space rays of the base grid (for oracle cross-checks): one ray
+    per (v_i, u_j) base pixel, through the camera eye."""
+    c_k, c_a, c_b = plan.coord_order
+    Hb, Wb = plan.base_shape
+    w_perm = jnp.stack(
+        [jnp.broadcast_to(jnp.float32(plan.sign), (Hb, Wb)),
+         plan.sign * jnp.broadcast_to(plan.v_grid[:, None], (Hb, Wb)),
+         plan.sign * jnp.broadcast_to(plan.u_grid[None, :], (Hb, Wb))],
+        axis=-1)
+    w_xyz = jnp.zeros_like(w_perm)
+    w_xyz = w_xyz.at[..., c_k].set(w_perm[..., 0])
+    w_xyz = w_xyz.at[..., c_a].set(w_perm[..., 1])
+    w_xyz = w_xyz.at[..., c_b].set(w_perm[..., 2])
+    rng_xyz = jnp.zeros(3, jnp.float32)
+    rng_xyz = rng_xyz.at[c_k].set(plan.box_range[0])
+    rng_xyz = rng_xyz.at[c_a].set(plan.box_range[1])
+    rng_xyz = rng_xyz.at[c_b].set(plan.box_range[2])
+    d = w_xyz * rng_xyz
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    min_xyz = jnp.zeros(3, jnp.float32)
+    min_xyz = min_xyz.at[c_k].set(plan.box_min[0])
+    min_xyz = min_xyz.at[c_a].set(plan.box_min[1])
+    min_xyz = min_xyz.at[c_b].set(plan.box_min[2])
+    e01_xyz = jnp.zeros(3, jnp.float32)
+    e01_xyz = e01_xyz.at[c_k].set(plan.eye01[0])
+    e01_xyz = e01_xyz.at[c_a].set(plan.eye01[1])
+    e01_xyz = e01_xyz.at[c_b].set(plan.eye01[2])
+    o = jnp.broadcast_to(min_xyz + e01_xyz * rng_xyz, d.shape)
+    return o, d
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _warp_bilinear(base, rows01, cols01, tile_lo, band, tile):
+    """Bilinear warp base (Hb, Wb, C) -> (H, W, C) at per-pixel coords.
+
+    Forward is a gather (fast on TPU for this regular access pattern); the
+    hand-written backward replaces XLA's scatter — ~10M elem/s on v5e,
+    measured 20x slower than the whole render — with windowed matmuls: a
+    `tile` x `tile` pixel tile touches only a `band` = (rows, cols) base
+    window (bounds precomputed in the plan; compact regardless of camera
+    roll), and its adjoint splat is Rtile^T @ diag(ct) @ Ctile into that
+    window. Exactly the transpose of the forward weights, so gradients
+    are exact. Requires ct == 0 on pixels outside the base footprint
+    (warp_base_to_pixels' miss mask guarantees it)."""
+    return sample_bilinear_2d(base, rows01, cols01, "clamp")
+
+
+def _warp_bilinear_fwd(base, rows01, cols01, tile_lo, band, tile):
+    out = sample_bilinear_2d(base, rows01, cols01, "clamp")
+    return out, (base.shape, rows01, cols01, tile_lo)
+
+
+def _warp_bilinear_bwd(band, tile, res, ct):
+    (Hb, Wb, C), rows01, cols01, tile_lo = res
+    band_r, band_c = band     # pixel-rect size gathered per base tile
+    H, W = rows01.shape
+    nty, ntx = Hb // tile, Wb // tile
+    n_tiles = nty * ntx
+
+    t_idx = jnp.arange(n_tiles, dtype=jnp.int32)
+    tro = (t_idx // ntx) * tile   # absolute base-row offset per tile
+    tco = (t_idx % ntx) * tile
+    iota = jnp.arange(tile, dtype=jnp.int32)[None, :]
+
+    def body(carry, xs):
+        lo, ro, co = xs
+        ctr = jax.lax.dynamic_slice(
+            ct, (lo[0], lo[1], 0), (band_r, band_c, C)).reshape(-1, C)
+        rr = jax.lax.dynamic_slice(
+            rows01, (lo[0], lo[1]), (band_r, band_c)).reshape(-1)
+        cc = jax.lax.dynamic_slice(
+            cols01, (lo[0], lo[1]), (band_r, band_c)).reshape(-1)
+
+        def w(q01, n, off):
+            p = q01 * n - 0.5
+            i0f = jnp.floor(p)
+            f = (p - i0f).astype(jnp.float32)
+            i0 = jnp.clip(i0f.astype(jnp.int32), 0, n - 1) - off
+            i1 = jnp.clip(i0f.astype(jnp.int32) + 1, 0, n - 1) - off
+            return i0, i1, f
+
+        r0, r1, fr = w(rr, Hb, ro)
+        c0, c1, fc = w(cc, Wb, co)
+        R = (jnp.where(iota == r0[:, None], (1.0 - fr)[:, None], 0.0)
+             + jnp.where(iota == r1[:, None], fr[:, None], 0.0))
+        Cm = (jnp.where(iota == c0[:, None], (1.0 - fc)[:, None], 0.0)
+              + jnp.where(iota == c1[:, None], fc[:, None], 0.0))
+        M = R[:, :, None] * ctr[:, None, :]              # (P, tile, C)
+        splat = jnp.einsum("pac,pb->abc", M, Cm,
+                           preferred_element_type=jnp.float32)
+        return carry, splat
+
+    _, tiles = jax.lax.scan(body, (), (tile_lo, tro, tco))
+    out = tiles.reshape(nty, ntx, tile, tile, C)
+    out = jnp.moveaxis(out, 1, 2).reshape(Hb, Wb, C)
+    return (out, jnp.zeros_like(rows01), jnp.zeros_like(cols01),
+            np.zeros(tile_lo.shape, dtype=jax.dtypes.float0))
+
+
+_warp_bilinear.defvjp(_warp_bilinear_fwd, _warp_bilinear_bwd)
+
+
+def warp_base_to_pixels(base_img, plan: SweepPlan, miss=None):
+    """Resample base-grid maps to the actual camera pixels (bilinear,
+    scatter-free custom VJP).
+
+    The base grid is clipped to the box's slope footprint (plan_sweep), so
+    pixels mapping outside it are guaranteed box misses: they get the
+    per-channel `miss` value instead of clamped edge samples."""
+    if plan.identity_warp:
+        return base_img
+    squeeze = base_img.ndim == 2
+    if squeeze:
+        base_img = base_img[..., None]
+    out = _warp_bilinear(base_img, plan.warp_rows01, plan.warp_cols01,
+                         plan.warp_tile_lo, plan.warp_band, plan.warp_blk)
+    if miss is not None:
+        inr = (_in01(plan.warp_rows01) & _in01(plan.warp_cols01))[..., None]
+        out = jnp.where(inr, out, jnp.asarray(miss, out.dtype))
+    return out[..., 0] if squeeze else out
+
+
+def _in01(x):
+    return (x >= 0.0) & (x <= 1.0)
+
+
+def _layer_lerp(gperm, qk, depth, address_mode):
+    """Fetch + lerp the two grid layers bracketing normalized sweep coord
+    qk (scalar, traced). gperm: (D, A, B[, C])."""
+    p = qk * depth - 0.5
+    i0 = jnp.floor(p)
+    f = p - i0
+    i0 = i0.astype(jnp.int32)
+    l0 = apply_address_mode(i0, depth, address_mode)
+    l1 = apply_address_mode(i0 + 1, depth, address_mode)
+    g0 = jax.lax.dynamic_index_in_dim(gperm, l0, 0, keepdims=False)
+    g1 = jax.lax.dynamic_index_in_dim(gperm, l1, 0, keepdims=False)
+    return g0 + f * (g1 - g0)
+
+
+def _resample_slice(g2d, a01, b01, address_mode, dtype):
+    """Wa @ g2d @ Wb^T via ops/resample.py — the two MXU matmuls.
+
+    The weight matrices are sweep geometry (camera/plan), never a
+    differentiation target: stop_gradient keeps autodiff from emitting the
+    (equally large) cotangent matmuls against them in the backward pass."""
+    A, B = g2d.shape
+    Wa = jax.lax.stop_gradient(
+        linear_resample_matrix(a01, A, address_mode, dtype))
+    Wb = jax.lax.stop_gradient(
+        linear_resample_matrix(b01, B, address_mode, dtype))
+    t = jnp.dot(Wa, g2d.astype(dtype), preferred_element_type=jnp.float32)
+    return jnp.dot(t.astype(dtype), Wb.T.astype(dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def _sigma_general(gperm, z_s, a01_base, b01_base, plan, medium, scroll,
+                   address_mode, dtype):
+    """Per-slice extinction for any combine mode / coord scale / scroll.
+
+    Mirrors ops/integrate.sample_sigma (frag.glsl:63-71) with trilinear
+    sampling decomposed as layer-lerp (sweep axis) x separable bilinear
+    (slice plane)."""
+    depth = gperm.shape[0]
+    c_k, c_a, c_b = plan.coord_order
+    if medium.combine == "reference":
+        samples = []
+        for c in range(4):
+            sc = medium.channel_coord_scale[c]
+            if scroll is not None:
+                off = scroll[c] * medium.channel_scroll_weight[c]
+                off_k, off_a, off_b = off[c_k], off[c_a], off[c_b]
+            else:
+                off_k = off_a = off_b = 0.0
+            g = _layer_lerp(gperm[..., c], z_s * sc + off_k, depth,
+                            address_mode)
+            samples.append(_resample_slice(
+                g, a01_base * sc + off_a, b01_base * sc + off_b,
+                address_mode, dtype))
+        s1, s2, s3, s4 = samples
+        return (s1 * s2) * (s3 + s4) * medium.sample_scale
+    elif medium.combine == "single":
+        g = gperm[..., 0] if gperm.ndim == 4 else gperm
+        g = _layer_lerp(g, z_s, depth, address_mode)
+        r = _resample_slice(g, a01_base, b01_base, address_mode, dtype)
+        return r * medium.sample_scale
+    raise ValueError(f"unknown combine mode {medium.combine!r}")
+
+
+def sweep_render(
+    grid,
+    plan: SweepPlan,
+    cfg: RenderConfig,
+    medium: MediumConfig,
+    light: Optional[LightConfig] = None,
+    scroll=None,
+    light_volume=None,
+    chunk: Optional[int] = None,
+):
+    """Render one RGBA frame (H, W, 4) by sweeping slices front-to-back.
+
+    grid: (D, H, W) or (D, H, W, C) density volume in [0,1].
+    light_volume: optional precomputed per-voxel light transmittance grid
+    (same spatial shape), sampled at each step for shading (config 4's
+    nested light march, computed once per frame by a second sweep — see
+    ops/lighting.py).
+    Memory: two-level checkpointed scan keeps backward residuals at
+    O(sqrt(S) * base image) instead of O(S * base image).
+    """
+    dtype = cfg.jnp_dtype
+    squeeze_c = grid.ndim == 3
+    gperm = jnp.transpose(grid, plan.perm + ((3,) if not squeeze_c else ()))
+    lperm = (jnp.transpose(light_volume, plan.perm)
+             if light_volume is not None else None)
+    Hb, Wb = plan.base_shape
+    e_k, e_a, e_b = plan.eye01[0], plan.eye01[1], plan.eye01[2]
+
+    emission = cfg.emission
+    lt = light if light is not None else LightConfig()
+    lcol = jnp.asarray(lt.color, jnp.float32)
+    S = plan.slice_z.shape[0]
+
+    # Chunked two-level scan: outer scan stores only per-chunk carries;
+    # inner chunk is rematerialized in the backward pass.
+    if chunk is None:
+        chunk = max(1, int(round(math.sqrt(S))))
+    n_chunks = -(-S // chunk)
+    pad = n_chunks * chunk - S
+    # Padding slices sit behind the eye (delta * sign < 0) -> masked no-ops.
+    slice_z = plan.slice_z
+    if pad:
+        sentinel = jnp.full((pad,), plan.eye01[0] - plan.sign, jnp.float32)
+        slice_z = jnp.concatenate([slice_z, sentinel])
+    slice_z = slice_z.reshape(n_chunks, chunk)
+
+    def one_slice(carry, z_s):
+        acc, trans, color, hit = carry
+        delta = z_s - e_k
+        a01 = e_a + delta * plan.v_grid   # (Hb,)
+        b01 = e_b + delta * plan.u_grid   # (Wb,)
+        front = (delta * plan.sign) > 0.0
+        mask = (_in01(a01)[:, None] & _in01(b01)[None, :] & front)
+        maskf = mask.astype(jnp.float32)
+        sigma = _sigma_general(gperm, z_s, a01, b01, plan, medium, scroll,
+                               cfg.address_mode, dtype)
+        sigma = sigma * maskf
+        if emission:
+            # Early-termination parity with the oracle (a masked no-op on
+            # already-opaque pixels; matches integrate.py's `active` gate).
+            live = (trans > cfg.early_stop_transmittance).astype(jnp.float32)
+            alpha = live * (
+                1.0 - jnp.exp(-medium.density * sigma * plan.seglen))
+            if lperm is not None:
+                lT = _layer_lerp(lperm, z_s, lperm.shape[0],
+                                 cfg.address_mode)
+                lT = _resample_slice(lT, a01, b01, cfg.address_mode, dtype)
+                shade = lt.ambient + (1.0 - lt.ambient) * jnp.clip(
+                    lT, 0.0, 1.0)
+            else:
+                shade = 1.0
+            w = trans * alpha * shade
+            color = color + w[..., None] * lcol
+            trans = trans * (1.0 - alpha)
+        else:
+            acc = acc + sigma * plan.seglen
+            hit = jnp.maximum(hit, maskf)
+        return (acc, trans, color, hit), None
+
+    @jax.checkpoint
+    def one_chunk(carry, zs):
+        # Unrolled inner loop: XLA sees straight-line code per chunk and
+        # keeps the compositing carry out of HBM between slices (the carry
+        # round-trip, not the matmuls, would otherwise dominate bandwidth).
+        return jax.lax.scan(one_slice, carry, zs, unroll=True)
+
+    init = (jnp.zeros((Hb, Wb), jnp.float32),
+            jnp.ones((Hb, Wb), jnp.float32),
+            jnp.zeros((Hb, Wb, 3), jnp.float32),
+            jnp.zeros((Hb, Wb), jnp.float32))
+    (acc, trans, color, hit), _ = jax.lax.scan(one_chunk, init, slice_z)
+
+    # Warp the *linear* quantities, then finish per pixel (the bilinear
+    # warp commutes with every linear post-op; exp/where do not).
+    background = jnp.asarray(cfg.background, jnp.float32)
+    if emission:
+        base = jnp.concatenate([color, trans[..., None]], axis=-1)
+        out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0, 0.0, 1.0))
+        rgb = out[..., :3] + out[..., 3:4] * background
+        alpha = 1.0 - out[..., 3]
+    else:
+        base = jnp.stack([acc, hit], axis=-1)
+        out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0))
+        gray = 1.0 - jnp.exp(-medium.density * out[..., 0])
+        hitp = jnp.clip(out[..., 1], 0.0, 1.0)
+        rgb = (gray[..., None] * hitp[..., None]
+               + background * (1.0 - hitp[..., None]))
+        alpha = hitp
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)

@@ -7,15 +7,22 @@ function from (grid, camera, configs, time) to an RGBA image; "frames in
 flight" fall out of XLA's async dispatch (launch N renders back to back and
 block on results), and the swapchain is `utils.image.write_png`.
 
-Backends:
-  * "reference": the jnp scan integrator (ops/integrate.py) — the oracle.
-  * "pallas":    the fused Pallas TPU kernel (kernels/) when available.
-  * "auto":      pallas when the (grid, config) combination is supported
-                 on the current platform, else reference.
+Quadratures and backends (RenderConfig.quadrature selects the math,
+`backend` selects the implementation):
+
+  quadrature "sliced" (the TPU-native path, default for the staged
+  BASELINE configs):
+    * "sweep":     MXU slice-sweep (ops/sweep.py) — banded-matmul
+                   resampling, no gathers. The fast path.
+    * "reference": per-ray jnp oracle (ops/integrate.render_rays_sliced).
+  quadrature "fixed" (frag.glsl:42-46 step-parity):
+    * "reference": the jnp scan integrator (ops/integrate.render_rays).
+  backend "auto" picks sweep for sliced (falling back to fixed/reference
+  if the camera geometry does not admit a sweep axis) and reference for
+  fixed.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -25,9 +32,22 @@ from .config import (CameraConfig, LightConfig, MediumConfig, Preset,
                      RenderConfig)
 from .models.scene import build_volume
 from .ops.camera import Camera, camera_rays, make_camera
-from .ops.integrate import reference_media_scroll, render_rays
+from .ops.integrate import (reference_media_scroll, render_rays,
+                            render_rays_sliced)
+from .ops.sweep import SweepPlan, plan_sweep, sweep_render
 
-__all__ = ["render", "render_preset", "render_image"]
+__all__ = ["render", "render_preset", "render_image", "plan_for"]
+
+
+def plan_for(camera: Camera, grid_shape, cfg: RenderConfig,
+             world_to_local=None, n_slices=None) -> SweepPlan:
+    """Build (host-side) the sweep plan for a camera/volume/config triple.
+    Callers rendering many frames with a static camera should build the
+    plan once and pass it to render_image."""
+    return plan_sweep(camera, grid_shape, cfg,
+                      world_to_local=world_to_local,
+                      supersample=cfg.sweep_supersample,
+                      n_slices=n_slices)
 
 
 def render_image(
@@ -39,18 +59,30 @@ def render_image(
     scroll=None,
     world_to_local=None,
     backend: str = "auto",
+    plan: Optional[SweepPlan] = None,
+    light_volume=None,
 ):
     """Render one RGBA frame (H, W, 4) from a density grid and camera."""
+    if cfg.quadrature == "sliced":
+        if plan is None:
+            try:
+                plan = plan_for(camera, grid.shape, cfg, world_to_local)
+            except ValueError:
+                if backend in ("sweep",):
+                    raise
+                plan = None
+        if plan is not None:
+            if backend in ("auto", "sweep"):
+                return sweep_render(grid, plan, cfg, medium, light,
+                                    scroll=scroll, light_volume=light_volume)
+            origins, directions = camera_rays(camera)
+            return render_rays_sliced(grid, origins, directions, plan, cfg,
+                                      medium, light, scroll=scroll,
+                                      light_volume=light_volume)
+        # No sweep axis (extreme FOV): fall through to the fixed-step path.
+    elif backend == "sweep":
+        raise ValueError('backend "sweep" requires quadrature "sliced"')
     origins, directions = camera_rays(camera)
-    if backend in ("auto", "pallas"):
-        from .kernels import raymarch as _raymarch
-        if _raymarch.supported(grid, cfg, medium, light, backend):
-            return _raymarch.render_rays_pallas(
-                grid, origins, directions, cfg, medium, light,
-                scroll=scroll, world_to_local=world_to_local)
-        if backend == "pallas":
-            raise NotImplementedError(
-                "pallas backend does not support this configuration")
     return render_rays(grid, origins, directions, cfg, medium, light,
                        scroll=scroll, world_to_local=world_to_local)
 
@@ -60,7 +92,7 @@ render = render_image
 
 
 def render_preset(preset: Preset, t: float = 0.0, grid=None,
-                  backend: str = "auto"):
+                  backend: str = "auto", plan: Optional[SweepPlan] = None):
     """Render a named BASELINE preset at animation time t (seconds).
 
     The time parameter drives the media scroll exactly like the demo loop
@@ -71,4 +103,5 @@ def render_preset(preset: Preset, t: float = 0.0, grid=None,
     n_channels = grid.shape[-1] if grid.ndim == 4 else 1
     scroll = reference_media_scroll(t, n_channels=max(n_channels, 1))
     return render_image(grid, cam, preset.render, preset.medium,
-                        preset.light, scroll=scroll, backend=backend)
+                        preset.light, scroll=scroll, backend=backend,
+                        plan=plan)
