@@ -50,8 +50,11 @@ def fit_grid(
 
     checkpoint_fn(step, grid, opt_state), when given with
     checkpoint_every > 0, is the periodic-checkpoint hook (failure
-    recovery — SURVEY.md section 5.3/5.4)."""
-    origins, directions = camera_rays(camera)
+    recovery — SURVEY.md section 5.3/5.4).
+
+    With quadrature="sliced" the loss differentiates through the MXU
+    slice-sweep (ops/sweep.py) — the production path; "fixed" keeps the
+    reference-parity gather integrator."""
     target = jnp.asarray(target_rgb, jnp.float32)
 
     if init_grid is None:
@@ -62,9 +65,20 @@ def fit_grid(
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(grid)
 
-    def loss_fn(g):
-        img = render_rays(g, origins, directions, cfg, medium, light)
-        return jnp.mean((img[..., :3] - target) ** 2)
+    if cfg.quadrature == "sliced":
+        from .ops.sweep import plan_sweep, sweep_render
+        plan = plan_sweep(camera, grid.shape, cfg,
+                          supersample=cfg.sweep_supersample)
+
+        def loss_fn(g):
+            img = sweep_render(g, plan, cfg, medium, light)
+            return jnp.mean((img[..., :3] - target) ** 2)
+    else:
+        origins, directions = camera_rays(camera)
+
+        def loss_fn(g):
+            img = render_rays(g, origins, directions, cfg, medium, light)
+            return jnp.mean((img[..., :3] - target) ** 2)
 
     @jax.jit
     def step_fn(g, st):

@@ -28,7 +28,7 @@ __all__ = ["linear_resample_matrix", "sample_bilinear_2d"]
 
 
 def linear_resample_matrix(u01, n_in, address_mode="mirror",
-                           dtype=jnp.float32):
+                           dtype=jnp.float32, zero_outside=False):
     """Weight matrix for 1D linear resampling at normalized positions.
 
     u01:  (n_out,) sample positions, [0,1] spanning the n_in texels
@@ -39,18 +39,36 @@ def linear_resample_matrix(u01, n_in, address_mode="mirror",
     given address mode. Differentiable w.r.t. the resampled data (it is
     a constant matrix w.r.t. the grid); u01 may be traced (animated
     cameras rebuild W on device — it is cheap iota math).
+
+    zero_outside=True zeroes rows whose position leaves [0,1] (used by the
+    light sweep, where out-of-box means "no medium" rather than a sampler
+    address mode).
     """
     n_out = u01.shape[0]
     p = u01.astype(jnp.float32) * n_in - 0.5
     i0 = jnp.floor(p)
     f = (p - i0).astype(dtype)
     i0 = i0.astype(jnp.int32)
-    a0 = apply_address_mode(i0, n_in, address_mode)
-    a1 = apply_address_mode(i0 + 1, n_in, address_mode)
+    if address_mode == "zero":
+        # Vacuum outside the texel support: out-of-range taps contribute
+        # nothing (the physically-correct boundary for the light sweep;
+        # not a Vulkan sampler mode).
+        a0 = jnp.clip(i0, 0, n_in - 1)
+        a1 = jnp.clip(i0 + 1, 0, n_in - 1)
+        in0 = ((i0 >= 0) & (i0 < n_in)).astype(dtype)
+        in1 = ((i0 + 1 >= 0) & (i0 + 1 < n_in)).astype(dtype)
+    else:
+        a0 = apply_address_mode(i0, n_in, address_mode)
+        a1 = apply_address_mode(i0 + 1, n_in, address_mode)
+        in0 = in1 = jnp.ones((), dtype)
     cols = jnp.arange(n_in, dtype=jnp.int32)[None, :]
-    w0 = jnp.where(cols == a0[:, None], (1.0 - f)[:, None], 0.0)
-    w1 = jnp.where(cols == a1[:, None], f[:, None], 0.0)
-    return (w0 + w1).astype(dtype)
+    w0 = jnp.where(cols == a0[:, None], ((1.0 - f) * in0)[:, None], 0.0)
+    w1 = jnp.where(cols == a1[:, None], (f * in1)[:, None], 0.0)
+    W = (w0 + w1).astype(dtype)
+    if zero_outside:
+        inr = ((u01 >= 0.0) & (u01 <= 1.0)).astype(dtype)
+        W = W * inr[:, None]
+    return W
 
 
 def sample_bilinear_2d(img, rows01, cols01, address_mode="clamp"):

@@ -57,7 +57,7 @@ from .resample import linear_resample_matrix, sample_bilinear_2d
 from .sampling import apply_address_mode
 
 __all__ = ["SweepPlan", "plan_sweep", "sweep_render", "base_rays",
-           "warp_base_to_pixels"]
+           "warp_base_to_pixels", "composite_base_maps", "finish_image"]
 
 
 # Grid dims are (z, y, x) = dims (0, 1, 2); coord axes are (x, y, z).
@@ -528,15 +528,24 @@ def _in01(x):
     return (x >= 0.0) & (x <= 1.0)
 
 
-def _layer_lerp(gperm, qk, depth, address_mode):
+def _layer_lerp(gperm, qk, depth, address_mode, layer_offset=None):
     """Fetch + lerp the two grid layers bracketing normalized sweep coord
-    qk (scalar, traced). gperm: (D, A, B[, C])."""
+    qk (scalar, traced). gperm: (D, A, B[, C]).
+
+    layer_offset: global index of gperm's first layer when gperm is a
+    slab-local shard of a `depth`-deep volume (parallel/sweep_sharded.py;
+    the addressed layers must live in the local slab — guaranteed when
+    slices sit at the slab's own voxel centers)."""
     p = qk * depth - 0.5
     i0 = jnp.floor(p)
     f = p - i0
     i0 = i0.astype(jnp.int32)
     l0 = apply_address_mode(i0, depth, address_mode)
     l1 = apply_address_mode(i0 + 1, depth, address_mode)
+    if layer_offset is not None:
+        local = gperm.shape[0]
+        l0 = jnp.clip(l0 - layer_offset, 0, local - 1)
+        l1 = jnp.clip(l1 - layer_offset, 0, local - 1)
     g0 = jax.lax.dynamic_index_in_dim(gperm, l0, 0, keepdims=False)
     g1 = jax.lax.dynamic_index_in_dim(gperm, l1, 0, keepdims=False)
     return g0 + f * (g1 - g0)
@@ -559,15 +568,20 @@ def _resample_slice(g2d, a01, b01, address_mode, dtype):
 
 
 def _sigma_general(gperm, z_s, a01_base, b01_base, plan, medium, scroll,
-                   address_mode, dtype):
+                   address_mode, dtype, depth_total=None, layer_offset=None):
     """Per-slice extinction for any combine mode / coord scale / scroll.
 
     Mirrors ops/integrate.sample_sigma (frag.glsl:63-71) with trilinear
     sampling decomposed as layer-lerp (sweep axis) x separable bilinear
-    (slice plane)."""
-    depth = gperm.shape[0]
+    (slice plane). depth_total/layer_offset support slab-local gperm
+    shards (sharded sweep)."""
+    depth = depth_total if depth_total is not None else gperm.shape[0]
     c_k, c_a, c_b = plan.coord_order
     if medium.combine == "reference":
+        if layer_offset is not None:
+            raise NotImplementedError(
+                "sharded sweep supports combine='single' media (scaled/"
+                "scrolled channel coords may cross slab boundaries)")
         samples = []
         for c in range(4):
             sc = medium.channel_coord_scale[c]
@@ -585,10 +599,147 @@ def _sigma_general(gperm, z_s, a01_base, b01_base, plan, medium, scroll,
         return (s1 * s2) * (s3 + s4) * medium.sample_scale
     elif medium.combine == "single":
         g = gperm[..., 0] if gperm.ndim == 4 else gperm
-        g = _layer_lerp(g, z_s, depth, address_mode)
+        g = _layer_lerp(g, z_s, depth, address_mode, layer_offset)
         r = _resample_slice(g, a01_base, b01_base, address_mode, dtype)
         return r * medium.sample_scale
     raise ValueError(f"unknown combine mode {medium.combine!r}")
+
+
+def _sweep_base(
+    gperm,
+    lperm,
+    slice_z,
+    v_grid,
+    u_grid,
+    seglen,
+    plan: SweepPlan,
+    cfg: RenderConfig,
+    medium: MediumConfig,
+    light: Optional[LightConfig],
+    scroll,
+    chunk: Optional[int] = None,
+    depth_total=None,
+    layer_offset=None,
+):
+    """Front-to-back composited base maps (acc, trans, color, hit) over an
+    explicit slice subset and base-grid subset.
+
+    This is the sweep's inner engine: sweep_render passes the full plan
+    arrays; the sharded renderer (parallel/sweep_sharded.py) passes each
+    device's local slab slices and base-row block — the compositing carry
+    is an associative monoid, so slab partials combine exactly afterwards.
+
+    Memory: two-level checkpointed scan keeps backward residuals at
+    O(sqrt(S) * base image) instead of O(S * base image).
+    """
+    dtype = cfg.jnp_dtype
+    Hb = v_grid.shape[0]
+    Wb = u_grid.shape[0]
+    e_k, e_a, e_b = plan.eye01[0], plan.eye01[1], plan.eye01[2]
+
+    emission = cfg.emission
+    lt = light if light is not None else LightConfig()
+    lcol = jnp.asarray(lt.color, jnp.float32)
+    S = slice_z.shape[0]
+
+    # Chunked two-level scan: outer scan stores only per-chunk carries;
+    # inner chunk is rematerialized in the backward pass.
+    if chunk is None:
+        chunk = max(1, int(round(math.sqrt(S))))
+    n_chunks = -(-S // chunk)
+    pad = n_chunks * chunk - S
+    # Padding slices sit behind the eye (delta * sign < 0) -> masked no-ops.
+    if pad:
+        sentinel = jnp.full((pad,), plan.eye01[0] - plan.sign, jnp.float32)
+        slice_z = jnp.concatenate([slice_z, sentinel])
+    slice_z = slice_z.reshape(n_chunks, chunk)
+
+    def one_slice(carry, z_s):
+        acc, trans, color, hit = carry
+        delta = z_s - e_k
+        a01 = e_a + delta * v_grid   # (Hb,)
+        b01 = e_b + delta * u_grid   # (Wb,)
+        front = (delta * plan.sign) > 0.0
+        mask = (_in01(a01)[:, None] & _in01(b01)[None, :] & front)
+        maskf = mask.astype(jnp.float32)
+        sigma = _sigma_general(gperm, z_s, a01, b01, plan, medium, scroll,
+                               cfg.address_mode, dtype, depth_total,
+                               layer_offset)
+        sigma = sigma * maskf
+        if emission:
+            # Early-termination parity with the oracle (a masked no-op on
+            # already-opaque pixels; matches integrate.py's `active` gate).
+            # (The sharded path disables this gate — it reads the *global*
+            # transmittance, which a slab-local sweep does not have.)
+            live = (trans > cfg.early_stop_transmittance).astype(jnp.float32)
+            alpha = live * (
+                1.0 - jnp.exp(-medium.density * sigma * seglen))
+            if lperm is not None:
+                lT = _layer_lerp(lperm, z_s, lperm.shape[0],
+                                 cfg.address_mode)
+                lT = _resample_slice(lT, a01, b01, cfg.address_mode, dtype)
+                shade = lt.ambient + (1.0 - lt.ambient) * jnp.clip(
+                    lT, 0.0, 1.0)
+            else:
+                shade = 1.0
+            w = trans * alpha * shade
+            color = color + w[..., None] * lcol
+            trans = trans * (1.0 - alpha)
+        else:
+            acc = acc + sigma * seglen
+            hit = jnp.maximum(hit, maskf)
+        return (acc, trans, color, hit), None
+
+    @jax.checkpoint
+    def one_chunk(carry, zs):
+        # Unrolled inner loop: XLA sees straight-line code per chunk and
+        # keeps the compositing carry out of HBM between slices (the carry
+        # round-trip, not the matmuls, would otherwise dominate bandwidth).
+        return jax.lax.scan(one_slice, carry, zs, unroll=True)
+
+    init = (jnp.zeros((Hb, Wb), jnp.float32),
+            jnp.ones((Hb, Wb), jnp.float32),
+            jnp.zeros((Hb, Wb, 3), jnp.float32),
+            jnp.zeros((Hb, Wb), jnp.float32))
+    (acc, trans, color, hit), _ = jax.lax.scan(one_chunk, init, slice_z)
+    return acc, trans, color, hit
+
+
+def composite_base_maps(near, far):
+    """Front-to-back combination of two composited base-map tuples — the
+    associative monoid that makes slab sharding exact:
+    C = C_near + T_near * C_far, T = T_near * T_far (and acc/hit are
+    sum/max). This is how rays crossing slab boundaries are handled
+    without any per-ray carry exchange (SURVEY.md section 5.7)."""
+    acc1, t1, c1, h1 = near
+    acc2, t2, c2, h2 = far
+    return (acc1 + acc2,
+            t1 * t2,
+            c1 + t1[..., None] * c2,
+            jnp.maximum(h1, h2))
+
+
+def finish_image(base_maps, plan: SweepPlan, cfg: RenderConfig,
+                 medium: MediumConfig):
+    """Warp the *linear* base quantities to screen pixels, then apply the
+    per-pixel nonlinearities (the bilinear warp commutes with every linear
+    post-op; exp/where do not)."""
+    acc, trans, color, hit = base_maps
+    background = jnp.asarray(cfg.background, jnp.float32)
+    if cfg.emission:
+        base = jnp.concatenate([color, trans[..., None]], axis=-1)
+        out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0, 0.0, 1.0))
+        rgb = out[..., :3] + out[..., 3:4] * background
+        alpha = 1.0 - out[..., 3]
+    else:
+        base = jnp.stack([acc, hit], axis=-1)
+        out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0))
+        gray = 1.0 - jnp.exp(-medium.density * out[..., 0])
+        hitp = jnp.clip(out[..., 1], 0.0, 1.0)
+        rgb = (gray[..., None] * hitp[..., None]
+               + background * (1.0 - hitp[..., None]))
+        alpha = hitp
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
 
 
 def sweep_render(
@@ -608,95 +759,12 @@ def sweep_render(
     (same spatial shape), sampled at each step for shading (config 4's
     nested light march, computed once per frame by a second sweep — see
     ops/lighting.py).
-    Memory: two-level checkpointed scan keeps backward residuals at
-    O(sqrt(S) * base image) instead of O(S * base image).
     """
-    dtype = cfg.jnp_dtype
     squeeze_c = grid.ndim == 3
     gperm = jnp.transpose(grid, plan.perm + ((3,) if not squeeze_c else ()))
     lperm = (jnp.transpose(light_volume, plan.perm)
              if light_volume is not None else None)
-    Hb, Wb = plan.base_shape
-    e_k, e_a, e_b = plan.eye01[0], plan.eye01[1], plan.eye01[2]
-
-    emission = cfg.emission
-    lt = light if light is not None else LightConfig()
-    lcol = jnp.asarray(lt.color, jnp.float32)
-    S = plan.slice_z.shape[0]
-
-    # Chunked two-level scan: outer scan stores only per-chunk carries;
-    # inner chunk is rematerialized in the backward pass.
-    if chunk is None:
-        chunk = max(1, int(round(math.sqrt(S))))
-    n_chunks = -(-S // chunk)
-    pad = n_chunks * chunk - S
-    # Padding slices sit behind the eye (delta * sign < 0) -> masked no-ops.
-    slice_z = plan.slice_z
-    if pad:
-        sentinel = jnp.full((pad,), plan.eye01[0] - plan.sign, jnp.float32)
-        slice_z = jnp.concatenate([slice_z, sentinel])
-    slice_z = slice_z.reshape(n_chunks, chunk)
-
-    def one_slice(carry, z_s):
-        acc, trans, color, hit = carry
-        delta = z_s - e_k
-        a01 = e_a + delta * plan.v_grid   # (Hb,)
-        b01 = e_b + delta * plan.u_grid   # (Wb,)
-        front = (delta * plan.sign) > 0.0
-        mask = (_in01(a01)[:, None] & _in01(b01)[None, :] & front)
-        maskf = mask.astype(jnp.float32)
-        sigma = _sigma_general(gperm, z_s, a01, b01, plan, medium, scroll,
-                               cfg.address_mode, dtype)
-        sigma = sigma * maskf
-        if emission:
-            # Early-termination parity with the oracle (a masked no-op on
-            # already-opaque pixels; matches integrate.py's `active` gate).
-            live = (trans > cfg.early_stop_transmittance).astype(jnp.float32)
-            alpha = live * (
-                1.0 - jnp.exp(-medium.density * sigma * plan.seglen))
-            if lperm is not None:
-                lT = _layer_lerp(lperm, z_s, lperm.shape[0],
-                                 cfg.address_mode)
-                lT = _resample_slice(lT, a01, b01, cfg.address_mode, dtype)
-                shade = lt.ambient + (1.0 - lt.ambient) * jnp.clip(
-                    lT, 0.0, 1.0)
-            else:
-                shade = 1.0
-            w = trans * alpha * shade
-            color = color + w[..., None] * lcol
-            trans = trans * (1.0 - alpha)
-        else:
-            acc = acc + sigma * plan.seglen
-            hit = jnp.maximum(hit, maskf)
-        return (acc, trans, color, hit), None
-
-    @jax.checkpoint
-    def one_chunk(carry, zs):
-        # Unrolled inner loop: XLA sees straight-line code per chunk and
-        # keeps the compositing carry out of HBM between slices (the carry
-        # round-trip, not the matmuls, would otherwise dominate bandwidth).
-        return jax.lax.scan(one_slice, carry, zs, unroll=True)
-
-    init = (jnp.zeros((Hb, Wb), jnp.float32),
-            jnp.ones((Hb, Wb), jnp.float32),
-            jnp.zeros((Hb, Wb, 3), jnp.float32),
-            jnp.zeros((Hb, Wb), jnp.float32))
-    (acc, trans, color, hit), _ = jax.lax.scan(one_chunk, init, slice_z)
-
-    # Warp the *linear* quantities, then finish per pixel (the bilinear
-    # warp commutes with every linear post-op; exp/where do not).
-    background = jnp.asarray(cfg.background, jnp.float32)
-    if emission:
-        base = jnp.concatenate([color, trans[..., None]], axis=-1)
-        out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0, 0.0, 1.0))
-        rgb = out[..., :3] + out[..., 3:4] * background
-        alpha = 1.0 - out[..., 3]
-    else:
-        base = jnp.stack([acc, hit], axis=-1)
-        out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0))
-        gray = 1.0 - jnp.exp(-medium.density * out[..., 0])
-        hitp = jnp.clip(out[..., 1], 0.0, 1.0)
-        rgb = (gray[..., None] * hitp[..., None]
-               + background * (1.0 - hitp[..., None]))
-        alpha = hitp
-    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    base_maps = _sweep_base(gperm, lperm, plan.slice_z, plan.v_grid,
+                            plan.u_grid, plan.seglen, plan, cfg, medium,
+                            light, scroll, chunk)
+    return finish_image(base_maps, plan, cfg, medium)

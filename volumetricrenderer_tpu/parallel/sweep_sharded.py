@@ -1,0 +1,162 @@
+"""Multi-chip slice-sweep rendering and training (BASELINE config 5).
+
+Distribution of the sweep over a (data, slab) mesh, in renderer terms
+(SURVEY.md sections 5.7-5.9):
+
+  * slab (SP/CP + TP-analogue): the volume is sharded along the *sweep*
+    axis; each device sweeps only its own slab's slices with a local
+    `lax.scan`. Because front-to-back compositing is an associative
+    monoid ((C,T): C = C1 + T1*C2, T = T1*T2 — ops/sweep.py
+    composite_base_maps), rays crossing slab boundaries need no per-ray
+    carry exchange: each device produces a partial base image and the
+    partials combine in closed form after one all_gather over the slab
+    axis (tiny: base images, not volumes). This replaces the ring-carry
+    pipeline a CUDA port would hand-write — the collective rides ICI and
+    XLA overlaps it with the warp.
+  * data (DP): base-image rows shard over "data" (each device builds
+    resample matrices only for its own v-rows), and screen-pixel rows
+    shard over "data" for the warp/loss, via GSPMD sharding constraints.
+  * Ulysses-analogue resharding: the grid arrives sharded along grid-z
+    (storage layout); rendering re-shards the *transposed* volume so
+    slabs align with the camera's sweep axis — one all-to-all per frame
+    instead of per-slice halo traffic.
+
+Voxel-gradient all-reduce falls out of autodiff: the transpose of the
+slab all_gather is a reduce-scatter, and XLA overlaps it with the
+backward sweep.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import LightConfig, MediumConfig, RenderConfig
+from ..ops.sweep import (SweepPlan, _sweep_base, composite_base_maps,
+                         finish_image)
+from .mesh import DATA_AXIS, SLAB_AXIS
+
+__all__ = ["sweep_render_sharded", "make_sweep_train_step"]
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+def sweep_render_sharded(
+    grid,
+    plan: SweepPlan,
+    mesh: Mesh,
+    cfg: RenderConfig,
+    medium: MediumConfig,
+    light: Optional[LightConfig] = None,
+    scroll=None,
+    chunk=None,
+):
+    """Sharded sweep_render: grid slab-sharded, base rows + screen rows
+    data-sharded. Returns the full (H, W, 4) image (pixel rows sharded
+    over "data").
+
+    Requirements (static): plan.base_shape[0] % data == 0 and
+    len(plan.slice_z) % slab == 0 (base dims are multiples of 64 and
+    slice counts are the grid depth, so power-of-two meshes divide them).
+    """
+    import dataclasses
+
+    n_slab = mesh.shape[SLAB_AXIS]
+    squeeze_c = grid.ndim == 3
+    gperm = jnp.transpose(grid, plan.perm + ((3,) if not squeeze_c else ()))
+    depth_total = gperm.shape[0]
+    if depth_total % n_slab or plan.slice_z.shape[0] != depth_total:
+        raise ValueError("sharded sweep needs slab | depth and slices at "
+                         "voxel centers (n_slices == depth)")
+    # Ulysses-analogue reshard: slabs along the sweep axis.
+    gperm = jax.lax.with_sharding_constraint(
+        gperm, NamedSharding(mesh, P(SLAB_AXIS)))
+
+    grid_spec = P(SLAB_AXIS) if gperm.ndim == 3 else P(SLAB_AXIS, None,
+                                                       None, None)
+    # The transmittance early-exit gate reads *global* transmittance,
+    # which a slab-local sweep cannot see: disable it so the slab monoid
+    # stays exact.
+    cfg_local = dataclasses.replace(cfg, early_stop_transmittance=-1.0)
+
+    # Shard the slice set in *k order* so each device sweeps exactly the
+    # slices of its own layer block; front-to-back then means: flip the
+    # local block when rays travel toward -k, and fold slab partials in
+    # device order (sign > 0) or reversed (sign < 0).
+    slice_z_k = plan.slice_z if plan.sign > 0 else plan.slice_z[::-1]
+
+    def local_sweep(gp, slice_z, v_grid, seglen):
+        s_loc = depth_total // n_slab
+        slab_i = jax.lax.axis_index(SLAB_AXIS)
+        layer_offset = slab_i * s_loc
+        slice_local = slice_z if plan.sign > 0 else slice_z[::-1]
+        base = _sweep_base(gp, None, slice_local, v_grid, plan.u_grid,
+                           seglen, plan, cfg_local, medium, light, scroll,
+                           chunk, depth_total=depth_total,
+                           layer_offset=layer_offset)
+        # Slab partials -> exact composite via the associative monoid.
+        parts = jax.lax.all_gather(base, SLAB_AXIS)  # tuple of (n_slab,...)
+        order = (range(n_slab) if plan.sign > 0
+                 else range(n_slab - 1, -1, -1))
+        order = list(order)
+        out = jax.tree.map(lambda x: x[order[0]], parts)
+        for i in order[1:]:
+            out = composite_base_maps(out, jax.tree.map(lambda x: x[i],
+                                                        parts))
+        return out
+
+    base_maps = _shard_map(
+        local_sweep, mesh,
+        in_specs=(grid_spec, P(SLAB_AXIS), P(DATA_AXIS), P(DATA_AXIS, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
+                   P(DATA_AXIS, None, None), P(DATA_AXIS, None)),
+    )(gperm, slice_z_k, plan.v_grid, plan.seglen)
+
+    img = finish_image(base_maps, plan, cfg, medium)
+    return jax.lax.with_sharding_constraint(
+        img, NamedSharding(mesh, P(DATA_AXIS)))
+
+
+def make_sweep_train_step(mesh: Mesh, plan: SweepPlan, cfg: RenderConfig,
+                          medium: MediumConfig,
+                          light: Optional[LightConfig] = None,
+                          optimizer=None, learning_rate: float = 1e-2):
+    """Jitted sharded inverse-rendering step over the mesh.
+
+    step(grid, opt_state, target) -> (grid, opt_state, loss) with the grid
+    (and its Adam moments) slab-sharded and the target image row-sharded.
+    The voxel-gradient reduce over "data" and the slab-boundary composite
+    transpose come from GSPMD/shard_map autodiff, not hand-written
+    collectives."""
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adam(learning_rate)
+
+    gs = NamedSharding(mesh, P(SLAB_AXIS))
+    ts = NamedSharding(mesh, P(DATA_AXIS))
+
+    def loss_fn(grid, target):
+        img = sweep_render_sharded(grid, plan, mesh, cfg, medium, light)
+        return jnp.mean((img[..., :3] - target) ** 2)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(gs, None, ts),
+        out_shardings=(gs, None, None),
+        donate_argnums=(0, 1),
+    )
+    def step(grid, opt_state, target):
+        loss, grads = jax.value_and_grad(loss_fn)(grid, target)
+        updates, opt_state = optimizer.update(grads, opt_state, grid)
+        grid = optax.apply_updates(grid, updates)
+        grid = jnp.clip(grid, 0.0, 1.0)
+        return grid, opt_state, loss
+
+    return step, optimizer

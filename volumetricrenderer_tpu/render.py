@@ -63,6 +63,13 @@ def render_image(
     light_volume=None,
 ):
     """Render one RGBA frame (H, W, 4) from a density grid and camera."""
+    if (cfg.quadrature == "sliced" and light is not None
+            and light.shadow_steps > 0 and light_volume is None
+            and cfg.emission):
+        # Config-4 shadows: one light-propagation sweep per frame
+        # (O(volume) matmuls) instead of a nested march per sample.
+        from .ops.lighting import light_transmittance_volume
+        light_volume = light_transmittance_volume(grid, light, cfg, medium)
     if cfg.quadrature == "sliced":
         if plan is None:
             try:
