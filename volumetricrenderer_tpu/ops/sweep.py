@@ -232,7 +232,7 @@ def plan_sweep(
         if not spacing or not np.isfinite(spacing):
             spacing = max(th_hi - th_lo, 1e-6) / 64
         n = int(math.ceil((th_hi - th_lo) / spacing * supersample)) + 2
-        n = max(64, min(_round_up(n, 64), max_base_dim))
+        n = max(128, min(_round_up(n, 128), max_base_dim))
         pad = (th_hi - th_lo) / n
         th_lo, th_hi = th_lo - pad, th_hi + pad
         centers = th_lo + (np.arange(n) + 0.5) / n * (th_hi - th_lo)
@@ -751,6 +751,7 @@ def sweep_render(
     scroll=None,
     light_volume=None,
     chunk: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
 ):
     """Render one RGBA frame (H, W, 4) by sweeping slices front-to-back.
 
@@ -759,12 +760,26 @@ def sweep_render(
     (same spatial shape), sampled at each step for shading (config 4's
     nested light march, computed once per frame by a second sweep — see
     ops/lighting.py).
+    use_pallas: None = auto (fused TPU kernel when the configuration
+    supports it, kernels/sweep_pallas.py); True forces, False disables.
     """
     squeeze_c = grid.ndim == 3
     gperm = jnp.transpose(grid, plan.perm + ((3,) if not squeeze_c else ()))
     lperm = (jnp.transpose(light_volume, plan.perm)
              if light_volume is not None else None)
-    base_maps = _sweep_base(gperm, lperm, plan.slice_z, plan.v_grid,
-                            plan.u_grid, plan.seglen, plan, cfg, medium,
-                            light, scroll, chunk)
+
+    from ..kernels import sweep_pallas as _sp
+    ok = _sp.supported(plan, cfg, medium, light_volume, scroll, grid.ndim,
+                       gperm.shape[0])
+    if use_pallas is None:
+        use_pallas = ok and jax.default_backend() == "tpu"
+    elif use_pallas and not ok:
+        raise NotImplementedError(
+            "pallas sweep kernel does not support this configuration")
+    if use_pallas:
+        base_maps = _sp.sweep_base_pallas(gperm, plan, cfg, medium, light)
+    else:
+        base_maps = _sweep_base(gperm, lperm, plan.slice_z, plan.v_grid,
+                                plan.u_grid, plan.seglen, plan, cfg, medium,
+                                light, scroll, chunk)
     return finish_image(base_maps, plan, cfg, medium)
