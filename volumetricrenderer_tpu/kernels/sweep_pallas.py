@@ -1,27 +1,53 @@
-"""Fused Pallas TPU kernel for the slice-sweep hot loop.
+"""Fused Pallas TPU kernels for the slice-sweep hot loop — forward AND
+backward.
 
-This is the hand-tiled version of ops/sweep._sweep_base for the common
-case (combine="single", slices at voxel centers, no shadow volume). Per
+Forward: the hand-tiled version of ops/sweep._sweep_base for
+combine="single" media (slices at voxel centers), optionally shaded by a
+precomputed light-transmittance volume (BASELINE config 4). Per
 (base-row-block, slice-chunk) grid step it fuses:
 
   * the y-resample MXU dot  t = Wa_block @ G_s  (the banded row matrices
     are precomputed once per frame and *streamed*, not rebuilt per block
     — rebuilding them per (block, slice) was measured to dominate),
-  * the x-resample as **lane dynamic_gathers**: `sigma[r, j] =
+  * the x-resample as **lane dynamic gathers**: `sigma[r, j] =
     (1-f_j) * t[r, b0_j] + f_j * t[r, b1_j]` runs as
     `jnp.take_along_axis(..., axis=1)` over 128-lane chunks — the one
-    data-dependent access TPU supports natively. This replaces a
-    (B x Wb) matrix build + (RB x B)@(B x Wb) dot with O(RB x Wb) vector
-    work: the same two products the banded matmul would compute, exactly.
+    data-dependent access TPU supports natively,
   * Beer-Lambert compositing with the carry *resident on chip*: the
     output blocks are revisited across the slice dimension (slice = minor
     grid axis), so (acc, trans, wsum, hit) never round-trip HBM between
     slices.
 
+Backward: a SECOND fused kernel, not autodiff. The key identity that makes
+it another *forward-order* sweep (no reverse-time scan, no O(S) residuals):
+with w_s = T_{s-1} alpha_s shade_s and T_s = T_{s-1}(1 - alpha_s), the
+transmittance adjoint A_s = dL/dT_s satisfies
+
+    A_s * T_s = cT * T_S + cw * (wsum_total - wsum_{<=s})
+
+(cT, cw = cotangents of the trans / weight-sum outputs) — a closed form in
+the *prefix* weight sum, which the backward kernel replays front-to-back
+from per-chunk checkpoints (T, wsum at each slice-chunk entry, emitted by
+the forward kernel). Per slice:
+
+    dL/dalpha_s = cw T_{s-1} shade_s - A_s T_{s-1}
+    dsigma_s    = live_s * density * seg * (cw T_{s-1} shade_s E_s - A~_s)
+
+(E = exp(-density sigma seg); the live early-exit gate zeroes the slice;
+the E/(1-alpha) ratio cancels exactly, so there is NO division). The
+voxel-gradient scatter — SURVEY.md §7's "contention-free accumulation"
+hard part — is two transposed matmuls on the MXU:
+
+    dG_s += Wa_s^T @ ((dsigma_s * sscale) @ Wb_s)
+
+with Wb_s the 2-banded column matrix rebuilt in-kernel from iota compares.
+dG blocks are accumulated in VMEM across row blocks (slice-chunk = outer
+parallel grid axis, so megacore cores own disjoint dG blocks — no races).
+
 Color factorization: with a constant light color, the per-slice color
-contribution is w * lcol with w = trans * alpha * shade, so the kernel
-accumulates the scalar field wsum and the caller forms
-color = wsum[..., None] * lcol afterwards (exactly equal).
+contribution is w * lcol, so the kernel accumulates the scalar field wsum
+and the caller forms color = wsum[..., None] * lcol (exactly equal);
+cw = <ct_color, lcol> folds the factorization into the adjoint.
 
 Address modes: inside the box, positions lie in [0,1], where mirror and
 clamp addressing agree texel-for-texel (mirror reflects only past the
@@ -29,15 +55,11 @@ edge texel); out-of-box rows/cols are zeroed, so the kernel is exact for
 mirror and clamp (wrap differs at the half-texel border and falls back to
 the jnp path).
 
-Backward: `sweep_base_pallas` is a jax.custom_vjp whose backward runs the
-(allclose-validated) jnp _sweep_base under jax.vjp — identical math, so
-gradients keep their oracle parity while forward rendering takes the
-fused kernel.
-
-Reference lineage: this kernel occupies the architectural slot of the
-reference's fragment shader (shaders/frag.glsl:34-81) — the per-pixel
-hot loop — reformulated for MXU + lane-gather (SURVEY.md section 2,
-component 25).
+Reference lineage: these kernels occupy the architectural slot of the
+reference's fragment shader (shaders/frag.glsl:34-81) — the per-pixel hot
+loop — reformulated for MXU + lane-gather (SURVEY.md section 2, component
+25); the backward kernel is the adjoint the reference does not have
+(forward-only renderer; BASELINE.md "Gradients: none").
 """
 from __future__ import annotations
 
@@ -61,10 +83,12 @@ __all__ = ["supported", "sweep_base_pallas"]
 
 def supported(plan, cfg: RenderConfig, medium: MediumConfig,
               light_volume, scroll, grid_ndim: int, depth: int) -> bool:
-    """Static gate for the fused kernel (the jnp sweep covers the rest)."""
+    """Static gate for the fused kernels (the jnp sweep covers the rest)."""
     Hb, Wb = plan.base_shape
+    light_ok = light_volume is None or (cfg.emission
+                                        and light_volume.ndim == 3)
     return (medium.combine == "single"
-            and light_volume is None
+            and light_ok
             and scroll is None
             and grid_ndim == 3
             and plan.slice_z.shape[0] == depth
@@ -73,8 +97,71 @@ def supported(plan, cfg: RenderConfig, medium: MediumConfig,
             and Wb % LANES == 0)
 
 
-def _kernel(slice_z_ref, params_ref, g_ref, wa_ref, ug_ref, seg_ref,
-            acc_ref, trans_ref, wsum_ref, hit_ref, *, emission, ch):
+def _pad_lanes(t, B):
+    return jnp.pad(t, ((0, 0), (0, LANES - B))) if B < LANES else t
+
+
+def _lane_gather(t, idx_row, n_pieces):
+    """t[r, idx[j]] for a 128-wide output-column chunk. t: (RB, >=LANES),
+    idx_row: (LANES,) int32 clipped to [0, B)."""
+    idx = jnp.broadcast_to(idx_row[None, :], (t.shape[0], LANES))
+    if n_pieces == 1:
+        return jnp.take_along_axis(t[:, :LANES], idx, axis=1)
+    out = jnp.zeros((t.shape[0], LANES), jnp.float32)
+    for p in range(n_pieces):
+        tp = t[:, p * LANES:(p + 1) * LANES]
+        local = jnp.clip(idx - p * LANES, 0, LANES - 1)
+        gp = jnp.take_along_axis(tp, local, axis=1)
+        inp = (idx >= p * LANES) & (idx < (p + 1) * LANES)
+        out = jnp.where(inp, gp, out)
+    return out
+
+
+def _gather_cols(t, i0, i1, fb, Wb_n, n_pieces):
+    """Two-tap linear gather along columns: out[r, j] =
+    (1-fb_j) t[r, i0_j] + fb_j t[r, i1_j], computed in 128-lane chunks."""
+    chunks = []
+    for q in range(Wb_n // LANES):
+        sl = slice(q * LANES, (q + 1) * LANES)
+        g0 = _lane_gather(t, i0[sl], n_pieces)
+        g1 = _lane_gather(t, i1[sl], n_pieces)
+        w1 = fb[sl][None, :]
+        chunks.append(g0 * (1.0 - w1) + g1 * w1)
+    return jnp.concatenate(chunks, axis=1)
+
+
+def _col_taps(e_b, delta, ug_row, B):
+    """Column sample positions for one slice: indices, fraction, in-box."""
+    b01 = e_b + delta * ug_row
+    pb = b01 * B - 0.5
+    ibf = jnp.floor(pb)
+    fb = pb - ibf
+    ib = ibf.astype(jnp.int32)
+    b_in = ((b01 >= 0.0) & (b01 <= 1.0)).astype(jnp.float32)
+    i0 = jnp.clip(ib, 0, B - 1)
+    i1 = jnp.clip(ib + 1, 0, B - 1)
+    return i0, i1, fb, b_in
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(slice_z_ref, params_ref, *refs, emission, ch, has_light,
+                with_ckpt):
+    i = 0
+    g_ref = refs[i]; i += 1
+    wa_ref = refs[i]; i += 1
+    ug_ref = refs[i]; i += 1
+    seg_ref = refs[i]; i += 1
+    l_ref = None
+    if has_light:
+        l_ref = refs[i]; i += 1
+    acc_ref, trans_ref, wsum_ref, hit_ref = refs[i:i + 4]; i += 4
+    tck_ref = wck_ref = None
+    if with_ckpt:
+        tck_ref, wck_ref = refs[i:i + 2]
+
     sc = pl.program_id(1)
 
     @pl.when(sc == 0)
@@ -84,11 +171,15 @@ def _kernel(slice_z_ref, params_ref, g_ref, wa_ref, ug_ref, seg_ref,
         wsum_ref[:] = jnp.zeros(wsum_ref.shape, jnp.float32)
         hit_ref[:] = jnp.zeros(hit_ref.shape, jnp.float32)
 
+    if with_ckpt:
+        # Chunk-entry checkpoint: the carry BEFORE this chunk's slices.
+        tck_ref[0] = trans_ref[:]
+        wck_ref[0] = wsum_ref[:]
+
     e_k, e_b = params_ref[0], params_ref[2]
     sign, density, sscale = params_ref[3], params_ref[4], params_ref[5]
-    thresh = params_ref[6]
+    thresh, ambient = params_ref[6], params_ref[7]
     B = g_ref.shape[2]
-    Wb_n = ug_ref.shape[1]
     n_pieces = max(1, B // LANES)
 
     for c in range(ch):
@@ -99,51 +190,28 @@ def _kernel(slice_z_ref, params_ref, g_ref, wa_ref, ug_ref, seg_ref,
         def _(c=c, delta=delta):
             # y-resample on the MXU with the streamed banded row matrix
             # (rows outside the box are zero rows — built that way).
-            t = jnp.dot(wa_ref[c], g_ref[c],
-                        preferred_element_type=jnp.float32)  # (RB, B)
-            if B < LANES:
-                t = jnp.pad(t, ((0, 0), (0, LANES - B)))
+            t = _pad_lanes(jnp.dot(wa_ref[c], g_ref[c],
+                                   preferred_element_type=jnp.float32), B)
+            i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B)
+            Wb_n = ug_ref.shape[1]
+            sigma = (_gather_cols(t, i0, i1, fb, Wb_n, n_pieces)
+                     * b_in[None, :] * sscale)
 
-            # x-resample as lane gathers, 128 output columns at a time.
-            b01 = e_b + delta * ug_ref[0, :]             # (Wb_n,)
-            pb = b01 * B - 0.5
-            ibf = jnp.floor(pb)
-            fb = pb - ibf
-            ib = ibf.astype(jnp.int32)
-            b_in = ((b01 >= 0.0) & (b01 <= 1.0)).astype(jnp.float32)
-            i0 = jnp.clip(ib, 0, B - 1)
-            i1 = jnp.clip(ib + 1, 0, B - 1)
-
-            def lane_gather(idx_row):
-                """t[r, idx[j]] for a 128-wide column chunk."""
-                idx = jnp.broadcast_to(idx_row[None, :], (RB, LANES))
-                if n_pieces == 1:
-                    return jnp.take_along_axis(t, idx, axis=1)
-                out = jnp.zeros((RB, LANES), jnp.float32)
-                for p in range(n_pieces):
-                    tp = t[:, p * LANES:(p + 1) * LANES]
-                    local = jnp.clip(idx - p * LANES, 0, LANES - 1)
-                    gp = jnp.take_along_axis(tp, local, axis=1)
-                    inp = (idx >= p * LANES) & (idx < (p + 1) * LANES)
-                    out = jnp.where(inp, gp, out)
-                return out
-
-            chunks = []
-            for q in range(Wb_n // LANES):
-                sl = slice(q * LANES, (q + 1) * LANES)
-                g0 = lane_gather(i0[sl])
-                g1 = lane_gather(i1[sl])
-                w1 = fb[sl][None, :]
-                sig_q = (g0 * (1.0 - w1) + g1 * w1) * b_in[sl][None, :]
-                chunks.append(sig_q)
-            sigma = jnp.concatenate(chunks, axis=1) * sscale  # (RB, Wb_n)
+            if has_light:
+                tl = _pad_lanes(jnp.dot(wa_ref[c], l_ref[c],
+                                        preferred_element_type=jnp.float32),
+                                B)
+                lT = _gather_cols(tl, i0, i1, fb, Wb_n, n_pieces)
+                shade = ambient + (1.0 - ambient) * jnp.clip(lT, 0.0, 1.0)
+            else:
+                shade = 1.0
 
             if emission:
                 trans = trans_ref[:]
                 live = (trans > thresh).astype(jnp.float32)
                 alpha = live * (
                     1.0 - jnp.exp(-density * sigma * seg_ref[:]))
-                wsum_ref[:] = wsum_ref[:] + trans * alpha
+                wsum_ref[:] = wsum_ref[:] + trans * alpha * shade
                 trans_ref[:] = trans * (1.0 - alpha)
             else:
                 acc_ref[:] = acc_ref[:] + sigma * seg_ref[:]
@@ -153,59 +221,256 @@ def _kernel(slice_z_ref, params_ref, g_ref, wa_ref, ug_ref, seg_ref,
                 hit_ref[:] = jnp.maximum(hit_ref[:], a_in * b_in[None, :])
 
 
-def _run_kernel(gperm, slice_z, wa_all, u_grid, seglen, params, emission,
-                interpret=False):
+def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
+             emission, with_ckpt, interpret=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
     Wb_n = u_grid.shape[0]
     n_rb = Hb // RB
     ch = math.gcd(CHUNK, S)
     n_sc = S // ch
+    has_light = lperm is not None
+
+    in_specs = [
+        pl.BlockSpec((ch, A, B), lambda rb, sc, *_: (sc, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ch, RB, A), lambda rb, sc, *_: (sc, rb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Wb_n), lambda rb, sc, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, Wb_n), lambda rb, sc, *_: (rb, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [gperm, wa_all, u_grid.reshape(1, Wb_n), seglen]
+    if has_light:
+        in_specs.append(pl.BlockSpec((ch, A, B), lambda rb, sc, *_:
+                                     (sc, 0, 0), memory_space=pltpu.VMEM))
+        inputs.append(lperm)
+
+    map_out = pl.BlockSpec((RB, Wb_n), lambda rb, sc, *_: (rb, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = [map_out] * 4
+    out_shape = [jax.ShapeDtypeStruct((Hb, Wb_n), jnp.float32)] * 4
+    if with_ckpt:
+        ck = pl.BlockSpec((1, RB, Wb_n), lambda rb, sc, *_: (sc, rb, 0),
+                          memory_space=pltpu.VMEM)
+        out_specs += [ck, ck]
+        out_shape += [jax.ShapeDtypeStruct((n_sc, Hb, Wb_n),
+                                           jnp.float32)] * 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_rb, n_sc),
-        in_specs=[
-            pl.BlockSpec((ch, A, B), lambda rb, sc, *_: (sc, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ch, RB, A), lambda rb, sc, *_: (sc, rb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Wb_n), lambda rb, sc, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, Wb_n), lambda rb, sc, *_: (rb, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((RB, Wb_n), lambda rb, sc, *_: (rb, 0),
-                         memory_space=pltpu.VMEM)
-        ] * 4,
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
-    out_shape = [jax.ShapeDtypeStruct((Hb, Wb_n), jnp.float32)] * 4
-    acc, trans, wsum, hit = pl.pallas_call(
-        functools.partial(_kernel, emission=emission, ch=ch),
+    light_mul = 2 if has_light else 1
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, emission=emission, ch=ch,
+                          has_light=has_light, with_ckpt=with_ckpt),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * S * Hb * A * B + 10 * S * Hb * Wb_n,
+            flops=light_mul * (2 * S * Hb * A * B + 10 * S * Hb * Wb_n),
             bytes_accessed=4 * (n_rb * S * A * B + S * Hb * A
                                 + 5 * Hb * Wb_n),
             transcendentals=S * Hb * Wb_n,
         ),
         interpret=interpret,
-    )(slice_z, params, gperm, wa_all, u_grid.reshape(1, Wb_n), seglen)
-    return acc, trans, wsum, hit
+    )(slice_z, params, *inputs)
 
 
-def _params_for(plan, cfg, medium):
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(slice_z_ref, params_ref, *refs, emission, ch, has_light):
+    i = 0
+    g_ref = refs[i]; i += 1
+    wa_ref = refs[i]; i += 1
+    ug_ref = refs[i]; i += 1
+    seg_ref = refs[i]; i += 1
+    if emission:
+        cw_ref = refs[i]; i += 1
+        bct_ref = refs[i]; i += 1
+        tck_ref = refs[i]; i += 1
+        wck_ref = refs[i]; i += 1
+    else:
+        ctacc_ref = refs[i]; i += 1
+    l_ref = None
+    if has_light:
+        l_ref = refs[i]; i += 1
+    dg_ref = refs[i]; i += 1
+    dl_ref = refs[i] if has_light else None
+
+    sc = pl.program_id(0)
+    rb = pl.program_id(1)
+
+    @pl.when(rb == 0)
+    def _():
+        dg_ref[:] = jnp.zeros(dg_ref.shape, jnp.float32)
+        if has_light:
+            dl_ref[:] = jnp.zeros(dl_ref.shape, jnp.float32)
+
+    e_k, e_b = params_ref[0], params_ref[2]
+    sign, density, sscale = params_ref[3], params_ref[4], params_ref[5]
+    thresh, ambient = params_ref[6], params_ref[7]
+    B = g_ref.shape[2]
+    Wb_n = ug_ref.shape[1]
+    n_pieces = max(1, B // LANES)
+    seg = seg_ref[:]
+
+    if emission:
+        T = tck_ref[0]       # carry at chunk entry, replayed within chunk
+        Wr = wck_ref[0]
+        cw = cw_ref[:]
+        bct = bct_ref[:]
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Wb_n, B), 1)
+    tA = (((0,), (0,)), ((), ()))  # contract dim0 x dim0: Wa^T @ u
+
+    for c in range(ch):
+        z = slice_z_ref[sc * ch + c]
+        delta = z - e_k
+        frontf = jnp.where(delta * sign > 0.0, 1.0, 0.0)
+
+        i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B)
+
+        if emission:
+            # Recompute sigma exactly as the forward kernel did.
+            t = _pad_lanes(jnp.dot(wa_ref[c], g_ref[c],
+                                   preferred_element_type=jnp.float32), B)
+            sigma = (_gather_cols(t, i0, i1, fb, Wb_n, n_pieces)
+                     * b_in[None, :] * sscale)
+            if has_light:
+                tl = _pad_lanes(jnp.dot(wa_ref[c], l_ref[c],
+                                        preferred_element_type=jnp.float32),
+                                B)
+                lT = _gather_cols(tl, i0, i1, fb, Wb_n, n_pieces)
+                shade = ambient + (1.0 - ambient) * jnp.clip(lT, 0.0, 1.0)
+            else:
+                shade = 1.0
+            E = jnp.exp(-density * sigma * seg)
+            live = (T > thresh).astype(jnp.float32) * frontf
+            alpha = live * (1.0 - E)
+            w = T * alpha * shade
+            Wr = Wr + w
+            Atil = bct - cw * Wr        # = A_s * T_s (prefix closed form)
+            dsig = live * density * seg * (cw * T * shade * E - Atil)
+            if has_light:
+                dshade = cw * T * alpha
+                # clip subgradient matching jax.numpy.clip: 1 inside,
+                # 0.5 exactly at the boundaries (min/max tie convention),
+                # 0 outside. Fully-lit voxels hit lT == 1.0 exactly.
+                clip_g = (((lT > 0.0) & (lT < 1.0)).astype(jnp.float32)
+                          + 0.5 * ((lT == 0.0) | (lT == 1.0)
+                                   ).astype(jnp.float32))
+                dlT = dshade * (1.0 - ambient) * clip_g
+            T = T * (1.0 - alpha)
+        else:
+            dsig = frontf * ctacc_ref[:] * seg
+
+        # Column scatter as a banded matmul: Wb[j, b] with b_in folded.
+        w0v = ((1.0 - fb) * b_in)[:, None]
+        w1v = (fb * b_in)[:, None]
+        Wbm = (jnp.where(cols == i0[:, None], w0v, 0.0)
+               + jnp.where(cols == i1[:, None], w1v, 0.0))
+        u = jnp.dot(dsig * sscale, Wbm,
+                    preferred_element_type=jnp.float32)      # (RB, B)
+        dg_ref[c] = dg_ref[c] + jax.lax.dot_general(
+            wa_ref[c], u, tA, preferred_element_type=jnp.float32)
+        if has_light:
+            ul = jnp.dot(dlT, Wbm, preferred_element_type=jnp.float32)
+            dl_ref[c] = dl_ref[c] + jax.lax.dot_general(
+                wa_ref[c], ul, tA, preferred_element_type=jnp.float32)
+
+
+def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
+             emission, cw, bct, tck, wck, ctacc, interpret=False):
+    S, A, B = gperm.shape
+    Hb = wa_all.shape[1]
+    Wb_n = u_grid.shape[0]
+    n_rb = Hb // RB
+    ch = math.gcd(CHUNK, S)
+    n_sc = S // ch
+    has_light = lperm is not None
+
+    vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((ch, A, B), lambda sc, rb, *_: (sc, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((ch, RB, A), lambda sc, rb, *_: (sc, rb, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, Wb_n), lambda sc, rb, *_: (0, 0), memory_space=vm),
+        pl.BlockSpec((RB, Wb_n), lambda sc, rb, *_: (rb, 0),
+                     memory_space=vm),
+    ]
+    inputs = [gperm, wa_all, u_grid.reshape(1, Wb_n), seglen]
+    map_rb = pl.BlockSpec((RB, Wb_n), lambda sc, rb, *_: (rb, 0),
+                          memory_space=vm)
+    ck = pl.BlockSpec((1, RB, Wb_n), lambda sc, rb, *_: (sc, rb, 0),
+                      memory_space=vm)
+    if emission:
+        in_specs += [map_rb, map_rb, ck, ck]
+        inputs += [cw, bct, tck, wck]
+    else:
+        in_specs += [map_rb]
+        inputs += [ctacc]
+    if has_light:
+        in_specs.append(pl.BlockSpec((ch, A, B), lambda sc, rb, *_:
+                                     (sc, 0, 0), memory_space=vm))
+        inputs.append(lperm)
+
+    dgs = pl.BlockSpec((ch, A, B), lambda sc, rb, *_: (sc, 0, 0),
+                       memory_space=vm)
+    out_specs = [dgs]
+    out_shape = [jax.ShapeDtypeStruct((S, A, B), jnp.float32)]
+    if has_light:
+        out_specs.append(dgs)
+        out_shape.append(jax.ShapeDtypeStruct((S, A, B), jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_sc, n_rb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    light_mul = 2 if has_light else 1
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel, emission=emission, ch=ch,
+                          has_light=has_light),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=light_mul * (2 * S * Hb * A * B + 2 * S * Hb * Wb_n * B
+                               + 2 * S * A * Hb * B),
+            bytes_accessed=4 * (n_rb * S * A * B + S * Hb * A
+                                + 8 * Hb * Wb_n + n_rb * S * A * B),
+            transcendentals=S * Hb * Wb_n,
+        ),
+        interpret=interpret,
+    )(slice_z, params, *inputs)
+    return out if has_light else (out[0], None)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+def _params_for(plan, cfg, medium, light):
     return jnp.stack([
         plan.eye01[0], plan.eye01[1], plan.eye01[2],
         jnp.float32(plan.sign),
         jnp.float32(medium.density),
         jnp.float32(medium.sample_scale),
         jnp.float32(cfg.early_stop_transmittance),
-        jnp.float32(0.0),
+        jnp.float32(light.ambient),
     ])
 
 
@@ -223,39 +488,89 @@ def _row_matrices(plan, A, address_mode):
     return jax.vmap(one)(plan.slice_z)
 
 
-def sweep_base_pallas(gperm, plan, cfg, medium, light, interpret=False):
-    """(acc, trans, color, hit) base maps via the fused kernel; backward
-    is the jnp sweep's VJP (same math, oracle-validated). plan arrays are
-    closed over (constants w.r.t. differentiation)."""
+def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
+                      interpret=False):
+    """(acc, trans, color, hit) base maps via the fused forward kernel,
+    with gradients from the fused backward kernel (jax.custom_vjp).
+
+    gperm: (S, A, B) volume transposed so the sweep axis is dim 0;
+    lperm: optional light-transmittance volume in the same layout
+    (ops/lighting.py), shaded per slice as in ops/sweep._sweep_base.
+    Gradients flow to gperm AND lperm. plan arrays are closed over
+    (constants w.r.t. differentiation)."""
     lt = light if light is not None else LightConfig()
     lcol = jnp.asarray(lt.color, jnp.float32)
-    params = _params_for(plan, cfg, medium)
+    params = _params_for(plan, cfg, medium, lt)
     wa_all = jax.lax.stop_gradient(
         _row_matrices(plan, gperm.shape[1], cfg.address_mode))
+    flip = plan.sign < 0
+
+    def run_fwd(g, l, with_ckpt):
+        g = g[::-1] if flip else g
+        l = (l[::-1] if flip else l) if l is not None else None
+        return _run_fwd(g, l, plan.slice_z, wa_all, plan.u_grid,
+                        plan.seglen, params, cfg.emission, with_ckpt,
+                        interpret)
+
+    def run_bwd(g, l, ct, trans, wsum, tck, wck):
+        ct_acc, ct_trans, ct_color, _ct_hit = ct
+        g = g[::-1] if flip else g
+        l = (l[::-1] if flip else l) if l is not None else None
+        if cfg.emission:
+            cw = jnp.einsum("abc,c->ab", ct_color, lcol)
+            bct = ct_trans * trans + cw * wsum
+            dg, dl = _run_bwd(g, l, plan.slice_z, wa_all, plan.u_grid,
+                              plan.seglen, params, True, cw, bct, tck, wck,
+                              None, interpret)
+        else:
+            dg, dl = _run_bwd(g, l, plan.slice_z, wa_all, plan.u_grid,
+                              plan.seglen, params, False, None, None, None,
+                              None, ct_acc, interpret)
+        dg = dg[::-1] if flip else dg
+        if dl is not None:
+            dl = dl[::-1] if flip else dl
+        return dg, dl
+
+    if lperm is None:
+
+        @jax.custom_vjp
+        def f(g):
+            acc, trans, wsum, hit = run_fwd(g, None, False)[:4]
+            return acc, trans, wsum[..., None] * lcol, hit
+
+        def f_fwd(g):
+            outs = run_fwd(g, None, cfg.emission)
+            acc, trans, wsum, hit = outs[:4]
+            tck, wck = (outs[4], outs[5]) if cfg.emission else (None, None)
+            out = (acc, trans, wsum[..., None] * lcol, hit)
+            return out, (g, trans, wsum, tck, wck)
+
+        def f_bwd(res, ct):
+            g, trans, wsum, tck, wck = res
+            dg, _ = run_bwd(g, None, ct, trans, wsum, tck, wck)
+            return (dg,)
+
+        f.defvjp(f_fwd, f_bwd)
+        return f(gperm)
 
     @jax.custom_vjp
-    def f(g):
-        # The kernel pairs slice index s with layer s: feed layers in
-        # front-to-back order (slice_z is reversed when sign < 0).
-        g_f2b = g if plan.sign > 0 else g[::-1]
-        acc, trans, wsum, hit = _run_kernel(
-            g_f2b, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
-            params, cfg.emission, interpret)
+    def f2(g, l):
+        acc, trans, wsum, hit = run_fwd(g, l, False)[:4]
         return acc, trans, wsum[..., None] * lcol, hit
 
-    def f_fwd(g):
-        return f(g), g
+    def f2_fwd(g, l):
+        outs = run_fwd(g, l, cfg.emission)
+        acc, trans, wsum, hit = outs[:4]
+        tck, wck = (outs[4], outs[5]) if cfg.emission else (None, None)
+        out = (acc, trans, wsum[..., None] * lcol, hit)
+        return out, (g, l, trans, wsum, tck, wck)
 
-    def f_bwd(g, ct):
-        from ..ops.sweep import _sweep_base
+    def f2_bwd(res, ct):
+        g, l, trans, wsum, tck, wck = res
+        dg, dl = run_bwd(g, l, ct, trans, wsum, tck, wck)
+        if dl is None:
+            dl = jnp.zeros_like(l)
+        return dg, dl
 
-        def jnp_base(gp):
-            return _sweep_base(gp, None, plan.slice_z, plan.v_grid,
-                               plan.u_grid, plan.seglen, plan, cfg, medium,
-                               light, None)
-
-        _, vjp = jax.vjp(jnp_base, g)
-        return vjp(ct)
-
-    f.defvjp(f_fwd, f_bwd)
-    return f(gperm)
+    f2.defvjp(f2_fwd, f2_bwd)
+    return f2(gperm, lperm)

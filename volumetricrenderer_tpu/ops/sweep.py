@@ -220,15 +220,20 @@ def plan_sweep(
             if not lo < hi:  # camera never sees the box on this axis
                 lo, hi = float(q.min()), float(q.max())
         th_lo, th_hi = math.atan(lo), math.atan(hi)
-        # pixel angular spacing (median over adjacent pixels)
-        dth = []
-        if th.shape[1] > 1:
-            dth.append(np.abs(np.diff(th, axis=1)).reshape(-1))
-        if th.shape[0] > 1:
-            dth.append(np.abs(np.diff(th, axis=0)).reshape(-1))
-        dth = np.concatenate(dth) if dth else np.zeros(0)
-        dth = dth[dth > 1e-12]
-        spacing = np.median(dth) if dth.size else 0.0
+        # Pixel angular spacing: per-direction medians, keep the LARGER —
+        # the base grid must resolve the direction along which this slope
+        # actually varies. (Pooling both directions' diffs and taking one
+        # median collapses for near-axis cameras, where the cross
+        # direction's diffs are ~0 and drag the median down, exploding the
+        # base dim ~10x for no resolution gain.)
+        meds = []
+        for ax in (0, 1):
+            if th.shape[ax] > 1:
+                d1 = np.abs(np.diff(th, axis=ax)).reshape(-1)
+                d1 = d1[d1 > 1e-12]
+                if d1.size:
+                    meds.append(float(np.median(d1)))
+        spacing = max(meds) if meds else 0.0
         if not spacing or not np.isfinite(spacing):
             spacing = max(th_hi - th_lo, 1e-6) / 64
         n = int(math.ceil((th_hi - th_lo) / spacing * supersample)) + 2
@@ -769,15 +774,17 @@ def sweep_render(
              if light_volume is not None else None)
 
     from ..kernels import sweep_pallas as _sp
-    ok = _sp.supported(plan, cfg, medium, light_volume, scroll, grid.ndim,
-                       gperm.shape[0])
+    ok = (_sp.supported(plan, cfg, medium, light_volume, scroll, grid.ndim,
+                        gperm.shape[0])
+          and (light_volume is None or light_volume.shape == grid.shape))
     if use_pallas is None:
         use_pallas = ok and jax.default_backend() == "tpu"
     elif use_pallas and not ok:
         raise NotImplementedError(
             "pallas sweep kernel does not support this configuration")
     if use_pallas:
-        base_maps = _sp.sweep_base_pallas(gperm, plan, cfg, medium, light)
+        base_maps = _sp.sweep_base_pallas(gperm, plan, cfg, medium, light,
+                                          lperm=lperm)
     else:
         base_maps = _sweep_base(gperm, lperm, plan.slice_z, plan.v_grid,
                                 plan.u_grid, plan.seglen, plan, cfg, medium,
