@@ -114,8 +114,9 @@ class SweepPlan:
     seglen: jnp.ndarray      # (Hb, Wb) world path length per slice step
     warp_rows01: jnp.ndarray  # (H, W) pixel -> base-grid row coords
     warp_cols01: jnp.ndarray  # (H, W) pixel -> base-grid col coords
-    warp_tile_lo: jnp.ndarray  # (n_base_tiles, 2) pixel-rect origin per
-                               #  base tile (adjoint-splat gather windows)
+    warp_tile_lo: jnp.ndarray  # (n_base_tiles, 3) [pixel-rect row, col,
+                               #  active] per base tile (warp windows,
+                               #  jnp splat + Pallas warp kernels)
     box_range: jnp.ndarray   # (3,) world box extent, (k, a, b) order
     box_min: jnp.ndarray     # (3,) world box min, (k, a, b) order
 
@@ -279,7 +280,7 @@ def plan_sweep(
     tile_lo = jnp.minimum(
         tile_lo,
         jnp.asarray([max(camera.height - band_r, 0),
-                     max(camera.width - band_c, 0)], jnp.int32))
+                     max(camera.width - band_c, 0), 1], jnp.int32))
     tile_lo = jnp.maximum(tile_lo, 0)
 
     f32 = lambda x: jnp.asarray(x, jnp.float32)
@@ -399,7 +400,8 @@ def _device_plan(right, up, forward, tan_half, w2l, box_range, u_grid,
     band_c = jnp.clip(jnp.max(jnp.where(nonempty, px1 - px0 + 1, 1)),
                       1, width)
     tile_lo = jnp.stack([jnp.where(nonempty, py0, 0).ravel(),
-                         jnp.where(nonempty, px0, 0).ravel()], axis=-1)
+                         jnp.where(nonempty, px0, 0).ravel(),
+                         nonempty.astype(jnp.int32).ravel()], axis=-1)
     span_r = jnp.max(jnp.where(bvalid, tr1 - tr0 + 1, 1))
     span_c = jnp.max(jnp.where(bvalid, tc1 - tc0 + 1, 1))
     return (seglen, rows01, cols01, tile_lo,
@@ -438,29 +440,60 @@ def base_rays(plan: SweepPlan):
     return o, d
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _warp_bilinear(base, rows01, cols01, tile_lo, band, tile):
+def _pallas_warp_fwd(base, rows01, cols01, tab, band):
+    from ..kernels import warp_pallas as wp
+    H, W = rows01.shape
+    rp = wp.pad_pixels(rows01, -1.0)
+    cp = wp.pad_pixels(cols01, -1.0)
+    out = wp.warp_forward(jnp.moveaxis(base, -1, 0), rp, cp, tab, band)
+    return jnp.moveaxis(out, 0, -1)[:H, :W]
+
+
+def _pallas_warp_bwd(ct, rows01, cols01, tab, band, Hb, Wb):
+    from ..kernels import warp_pallas as wp
+    rp = wp.pad_pixels(rows01, -1.0)
+    cp = wp.pad_pixels(cols01, -1.0)
+    ctp = wp.pad_pixels(ct, 0.0)
+    out = wp.warp_backward(jnp.moveaxis(ctp, -1, 0), rp, cp, tab, band,
+                           Hb, Wb)
+    return jnp.moveaxis(out, 0, -1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _warp_bilinear(base, rows01, cols01, tile_lo, band, tile, use_pallas):
     """Bilinear warp base (Hb, Wb, C) -> (H, W, C) at per-pixel coords.
 
-    Forward is a gather (fast on TPU for this regular access pattern); the
-    hand-written backward replaces XLA's scatter — ~10M elem/s on v5e,
-    measured 20x slower than the whole render — with windowed matmuls: a
-    `tile` x `tile` pixel tile touches only a `band` = (rows, cols) base
-    window (bounds precomputed in the plan; compact regardless of camera
-    roll), and its adjoint splat is Rtile^T @ diag(ct) @ Ctile into that
-    window. Exactly the transpose of the forward weights, so gradients
-    are exact. Requires ct == 0 on pixels outside the base footprint
-    (warp_base_to_pixels' miss mask guarantees it)."""
+    use_pallas=True routes BOTH directions through the fused TPU kernels
+    (kernels/warp_pallas.py), driven by the same per-base-tile pixel
+    rects. The jnp fallback: forward is a gather (XLA's scalar gather
+    path — measured 72 ms/frame at 1080p on v5e, 7x the entire fused
+    sweep, which is why the Pallas path exists); the hand-written
+    backward replaces XLA's scatter with windowed matmuls: a `tile` x
+    `tile` base tile receives splats only from its `band` = (rows, cols)
+    pixel window (bounds precomputed in the plan; compact regardless of
+    camera roll), and its adjoint splat is Rtile^T @ diag(ct) @ Ctile.
+    Both backends are exactly the transpose of their forward weights, so
+    gradients are exact. Requires ct == 0 on pixels outside the base
+    footprint (warp_base_to_pixels' miss mask guarantees it)."""
+    if use_pallas:
+        return _pallas_warp_fwd(base, rows01, cols01, tile_lo, band)
     return sample_bilinear_2d(base, rows01, cols01, "clamp")
 
 
-def _warp_bilinear_fwd(base, rows01, cols01, tile_lo, band, tile):
-    out = sample_bilinear_2d(base, rows01, cols01, "clamp")
+def _warp_bilinear_fwd(base, rows01, cols01, tile_lo, band, tile,
+                       use_pallas):
+    out = _warp_bilinear(base, rows01, cols01, tile_lo, band, tile,
+                         use_pallas)
     return out, (base.shape, rows01, cols01, tile_lo)
 
 
-def _warp_bilinear_bwd(band, tile, res, ct):
+def _warp_bilinear_bwd(band, tile, use_pallas, res, ct):
     (Hb, Wb, C), rows01, cols01, tile_lo = res
+    if use_pallas:
+        dbase = _pallas_warp_bwd(ct, rows01, cols01, tile_lo, band,
+                                 Hb, Wb)
+        return (dbase, jnp.zeros_like(rows01), jnp.zeros_like(cols01),
+                np.zeros(tile_lo.shape, dtype=jax.dtypes.float0))
     band_r, band_c = band     # pixel-rect size gathered per base tile
     H, W = rows01.shape
     nty, ntx = Hb // tile, Wb // tile
@@ -509,20 +542,32 @@ def _warp_bilinear_bwd(band, tile, res, ct):
 _warp_bilinear.defvjp(_warp_bilinear_fwd, _warp_bilinear_bwd)
 
 
-def warp_base_to_pixels(base_img, plan: SweepPlan, miss=None):
+def warp_base_to_pixels(base_img, plan: SweepPlan, miss=None,
+                        pallas: Optional[bool] = None):
     """Resample base-grid maps to the actual camera pixels (bilinear,
-    scatter-free custom VJP).
+    scatter-free custom VJP; fused Pallas kernels on TPU).
 
     The base grid is clipped to the box's slope footprint (plan_sweep), so
     pixels mapping outside it are guaranteed box misses: they get the
-    per-channel `miss` value instead of clamped edge samples."""
+    per-channel `miss` value instead of clamped edge samples.
+    pallas: None = auto (TPU + plan rects valid + base fits VMEM); the
+    sharded renderer passes False (pallas_call has no GSPMD partitioning
+    rule, so the warp stays plain XLA there)."""
     if plan.identity_warp:
         return base_img
     squeeze = base_img.ndim == 2
     if squeeze:
         base_img = base_img[..., None]
+    if pallas is None:
+        from ..kernels.warp_pallas import supported as wp_supported
+        H, W = plan.warp_rows01.shape
+        pallas = (jax.default_backend() == "tpu"
+                  and wp_supported(plan.warp_band,
+                                   (H, W, base_img.shape[-1]),
+                                   plan.base_shape))
     out = _warp_bilinear(base_img, plan.warp_rows01, plan.warp_cols01,
-                         plan.warp_tile_lo, plan.warp_band, plan.warp_blk)
+                         plan.warp_tile_lo, plan.warp_band, plan.warp_blk,
+                         bool(pallas))
     if miss is not None:
         inr = (_in01(plan.warp_rows01) & _in01(plan.warp_cols01))[..., None]
         out = jnp.where(inr, out, jnp.asarray(miss, out.dtype))
@@ -725,7 +770,7 @@ def composite_base_maps(near, far):
 
 
 def finish_image(base_maps, plan: SweepPlan, cfg: RenderConfig,
-                 medium: MediumConfig):
+                 medium: MediumConfig, pallas_warp: Optional[bool] = None):
     """Warp the *linear* base quantities to screen pixels, then apply the
     per-pixel nonlinearities (the bilinear warp commutes with every linear
     post-op; exp/where do not)."""
@@ -733,12 +778,14 @@ def finish_image(base_maps, plan: SweepPlan, cfg: RenderConfig,
     background = jnp.asarray(cfg.background, jnp.float32)
     if cfg.emission:
         base = jnp.concatenate([color, trans[..., None]], axis=-1)
-        out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0, 0.0, 1.0))
+        out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0, 0.0, 1.0),
+                                  pallas=pallas_warp)
         rgb = out[..., :3] + out[..., 3:4] * background
         alpha = 1.0 - out[..., 3]
     else:
         base = jnp.stack([acc, hit], axis=-1)
-        out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0))
+        out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0),
+                                  pallas=pallas_warp)
         gray = 1.0 - jnp.exp(-medium.density * out[..., 0])
         hitp = jnp.clip(out[..., 1], 0.0, 1.0)
         rgb = (gray[..., None] * hitp[..., None]

@@ -118,7 +118,9 @@ def sweep_render_sharded(
                    P(DATA_AXIS, None, None), P(DATA_AXIS, None)),
     )(gperm, slice_z_k, plan.v_grid, plan.seglen)
 
-    img = finish_image(base_maps, plan, cfg, medium)
+    # pallas_warp=False: pallas_call carries no GSPMD partitioning rule,
+    # so the warp must stay plain XLA under the mesh.
+    img = finish_image(base_maps, plan, cfg, medium, pallas_warp=False)
     return jax.lax.with_sharding_constraint(
         img, NamedSharding(mesh, P(DATA_AXIS)))
 
