@@ -1,0 +1,216 @@
+"""Tests for the first-party utility subsystems: PNG/PPM writers (the
+swapchain/present analogue), metrics writer, clock, and checkpoint
+save/restore incl. the resume-matches-uninterrupted guarantee.
+
+The PNG check decodes with an independent minimal decoder (chunk parse +
+zlib inflate + filter reversal) rather than trusting the encoder's own
+inverse — a malformed chunk or bad CRC fails loudly here.
+"""
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from volumetricrenderer_tpu.utils.checkpoint import (latest_step,
+                                                     restore_checkpoint,
+                                                     save_checkpoint)
+from volumetricrenderer_tpu.utils.clock import Clock, device_timer
+from volumetricrenderer_tpu.utils.image import to_uint8, write_png, write_ppm
+from volumetricrenderer_tpu.utils.metrics import MetricsWriter, init_logs
+
+
+def decode_png(path):
+    """Independent minimal PNG decoder (8-bit, non-interlaced)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, hdr = 8, b"", None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        crc = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])[0]
+        assert crc == zlib.crc32(tag + payload) & 0xFFFFFFFF, "bad CRC"
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    w, h, depth, color_type, comp, filt, interlace = hdr
+    assert depth == 8 and comp == 0 and filt == 0 and interlace == 0
+    c = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    stride = w * c
+    rows = []
+    prev = np.zeros(stride, np.uint8)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)], np.uint8)
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int32) + prev).astype(np.uint8)
+        else:
+            raise AssertionError(f"unexpected filter {ftype}")
+        rows.append(cur)
+        prev = cur
+    return np.stack(rows).reshape(h, w, c)
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_roundtrip(tmp_path, channels, rng):
+    img = rng.random((13, 17, channels)).astype(np.float32)
+    path = write_png(str(tmp_path / "t.png"), img)
+    out = decode_png(path)
+    assert out.shape == (13, 17, channels)
+    np.testing.assert_array_equal(out, to_uint8(img))
+
+
+def test_png_2d_gray(tmp_path, rng):
+    img = (rng.random((9, 5)) * 255).astype(np.uint8)
+    out = decode_png(write_png(str(tmp_path / "g.png"), img))
+    np.testing.assert_array_equal(out[..., 0], img)
+
+
+def test_ppm_roundtrip(tmp_path, rng):
+    img = rng.random((7, 11, 4)).astype(np.float32)
+    path = write_ppm(str(tmp_path / "t.ppm"), img)
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        dims = f.readline().split()
+        maxv = f.readline().strip()
+        payload = f.read()
+    assert magic == b"P6" and maxv == b"255"
+    w, h = int(dims[0]), int(dims[1])
+    out = np.frombuffer(payload, np.uint8).reshape(h, w, 3)
+    np.testing.assert_array_equal(out, to_uint8(img)[..., :3])
+
+
+def test_to_uint8_clamps():
+    np.testing.assert_array_equal(
+        to_uint8(np.array([[-1.0, 0.0, 0.5, 1.0, 2.0]])),
+        np.array([[0, 0, 128, 255, 255]], np.uint8))
+
+
+def test_metrics_writer_jsonl(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    mw = MetricsWriter(path)
+    mw.write(step=0, loss=1.5)
+    mw.write(step=1, loss=0.25, extra="x")
+    mw.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert [l["step"] for l in lines] == [0, 1]
+    assert lines[1]["loss"] == 0.25 and lines[1]["extra"] == "x"
+    assert all("ts" in l for l in lines)
+
+
+def test_init_logs_rotation(tmp_path):
+    d = str(tmp_path / "logs")
+    logger = init_logs(d)
+    logger.info("first run")
+    for h in list(logger.handlers):  # release the file before rotation
+        h.close()
+        logger.removeHandler(h)
+    assert os.path.exists(os.path.join(d, "latest.log"))
+    init_logs(d)
+    files = os.listdir(d)
+    assert "latest.log" in files and len(files) == 2  # backup created
+
+
+def test_clock_stamp_restarts():
+    c = Clock()
+    t1 = c.stamp()
+    t2 = c.elapsed()
+    assert t1 >= 0.0 and t2 <= t1 + 0.5
+
+
+def test_device_timer():
+    import jax.numpy as jnp
+    _, dt = device_timer(lambda x: jnp.sum(x * 2), jnp.ones(16), iters=2)
+    assert dt > 0
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    import optax
+    d = str(tmp_path / "ckpt")
+    grid = rng.random((4, 4, 4)).astype(np.float32)
+    opt = optax.adam(1e-2)
+    st = opt.init(grid)
+    save_checkpoint(d, 3, grid, st, extra={"loss": 0.5})
+    save_checkpoint(d, 7, grid * 2, st)
+    assert latest_step(d) == 7
+    step, g, st2, extra = restore_checkpoint(d, step=3,
+                                             opt_state_template=st)
+    assert step == 3 and extra == {"loss": 0.5}
+    np.testing.assert_allclose(g, grid)
+    for a, b in zip(*(map(lambda t: __import__("jax").tree_util.tree_leaves(t),
+                          (st, st2)))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_fit_resume_matches_uninterrupted(tmp_path):
+    """Kill-and-resume parity: 4 steps + resume to 8 == straight 8 steps
+    (VERDICT round 1 item 8)."""
+    import jax.numpy as jnp
+
+    from volumetricrenderer_tpu.config import (CameraConfig, MediumConfig,
+                                               RenderConfig)
+    from volumetricrenderer_tpu.fit import fit_grid
+    from volumetricrenderer_tpu.models.scene import cloud_volume
+    from volumetricrenderer_tpu.ops.camera import camera_rays, make_camera
+    from volumetricrenderer_tpu.ops.integrate import render_rays
+
+    cfg = RenderConfig(max_steps=16, step_size=4.0 / 16.0, emission=True,
+                       quadrature="fixed")
+    med = MediumConfig(combine="single", density=8.0)
+    cam = make_camera(CameraConfig(width=12, height=12))
+    o, dirs = camera_rays(cam)
+    target = render_rays(cloud_volume(8, seed=7), o, dirs, cfg, med)[..., :3]
+
+    full = fit_grid(target, cam, cfg, med, grid_size=8, steps=8,
+                    learning_rate=5e-2)
+
+    d = str(tmp_path / "ck")
+    fit_grid(target, cam, cfg, med, grid_size=8, steps=8,
+             learning_rate=5e-2,
+             checkpoint_fn=lambda s, g, st: save_checkpoint(d, s, g, st),
+             checkpoint_every=4)
+    import optax
+    template = optax.adam(5e-2).init(jnp.zeros((8, 8, 8), jnp.float32))
+    step, g0, st0, _ = restore_checkpoint(d, step=4,
+                                          opt_state_template=template)
+    resumed = fit_grid(target, cam, cfg, med, grid_size=8, steps=8,
+                       learning_rate=5e-2, init_grid=g0,
+                       init_opt_state=st0, start_step=step)
+    np.testing.assert_allclose(np.asarray(resumed.grid),
+                               np.asarray(full.grid), rtol=1e-5, atol=1e-6)
+
+
+def test_cli_smoke(tmp_path):
+    """Argparse + render a tiny frame through the real CLI (VERDICT item
+    10); also `info` and tiny `fit`."""
+    from volumetricrenderer_tpu.cli import main
+    out = str(tmp_path / "f.png")
+    rc = main(["render", "--preset", "config1", "--volume-size", "8",
+               "--width", "16", "--height", "16", "--out", out])
+    assert rc == 0
+    img = decode_png(out)
+    assert img.shape == (16, 16, 4)
+
+    assert main(["info"]) == 0
+
+    fit_dir = str(tmp_path / "fit")
+    rc = main(["fit", "--size", "6", "--image-size", "8", "--steps", "2",
+               "--out-dir", fit_dir])
+    assert rc == 0
+    assert os.path.exists(os.path.join(fit_dir, "fitted.png"))
+    # resume path: a third step from the checkpoint
+    rc = main(["fit", "--size", "6", "--image-size", "8", "--steps", "3",
+               "--out-dir", fit_dir, "--resume"])
+    assert rc == 0

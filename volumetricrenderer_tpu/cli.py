@@ -70,6 +70,30 @@ def cmd_render(args):
     return 0
 
 
+def animation_plans(cameras, grid_shape, cfg):
+    """Compile-stable sweep plans for an animated camera path: probe every
+    frame's natural base dims (host-only), force the max onto all frames,
+    and unify the warp band — so all frames sharing an (axis, sign) reuse
+    ONE jit executable instead of recompiling per frame (the reference's
+    60 fps interactive loop, TestMain.cpp:173-256, is the parity bar).
+    Returns (plans, n_signatures)."""
+    from .ops.sweep import (plan_base_dims, plan_signature, plan_sweep,
+                            with_warp_band)
+    dims = [plan_base_dims(c, grid_shape, cfg,
+                           supersample=cfg.sweep_supersample)
+            for c in cameras]
+    fh = max(d[0] for d in dims)
+    fw = max(d[1] for d in dims)
+    plans = [plan_sweep(c, grid_shape, cfg,
+                        supersample=cfg.sweep_supersample,
+                        force_base_dims=(fh, fw))
+             for c in cameras]
+    band = (max(p.warp_band[0] for p in plans),
+            max(p.warp_band[1] for p in plans))
+    plans = [with_warp_band(p, band) for p in plans]
+    return plans, len({plan_signature(p) for p in plans})
+
+
 def cmd_animate(args):
     import jax
 
@@ -87,27 +111,59 @@ def cmd_animate(args):
     n_ch = grid.shape[-1] if grid.ndim == 4 else 1
     metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
     log = get_logger()
+
+    def camera_at(i):
+        if args.orbit:
+            import math
+            return orbit_camera(2 * math.pi * i / args.frames,
+                                fov_y_degrees=preset.camera.fov_y_degrees,
+                                width=preset.camera.width,
+                                height=preset.camera.height)
+        return make_camera(preset.camera)
+
+    cfg, medium, light = preset.render, preset.medium, preset.light
+    sliced = cfg.quadrature == "sliced" and args.backend in ("auto", "sweep")
+    plans = [None] * args.frames
+    frame_fn = None
+    if sliced:
+        cams = [camera_at(i) for i in range(args.frames)]
+        plans, n_sigs = animation_plans(cams, grid.shape, cfg)
+        log.info("animation: %d frames share %d executable(s)",
+                 args.frames, n_sigs)
+
+        use_shadow = light is not None and light.shadow_steps > 0
+
+        @jax.jit
+        def frame_fn(g, plan, scroll):
+            lv = None
+            if use_shadow and cfg.emission:
+                from .ops.lighting import light_transmittance_volume
+                lv = light_transmittance_volume(g, light, cfg, medium)
+            return render_image(g, None, cfg, medium, light, scroll=scroll,
+                                plan=plan, light_volume=lv,
+                                backend="sweep")
+
     clock = Clock()
     for i in range(args.frames):
         t = i / args.fps
-        if args.orbit:
-            import math
-            cam = orbit_camera(2 * math.pi * i / args.frames,
-                               fov_y_degrees=preset.camera.fov_y_degrees,
-                               width=preset.camera.width,
-                               height=preset.camera.height)
+        scroll = (reference_media_scroll(t, n_channels=n_ch)
+                  if medium.combine == "reference" else None)
+        if frame_fn is not None:
+            img = jax.block_until_ready(frame_fn(grid, plans[i], scroll))
         else:
-            cam = make_camera(preset.camera)
-        scroll = reference_media_scroll(t, n_channels=n_ch)
-        img = jax.block_until_ready(
-            render_image(grid, cam, preset.render, preset.medium,
-                         preset.light, scroll=scroll, backend=args.backend))
+            img = jax.block_until_ready(
+                render_image(grid, camera_at(i), cfg, medium, light,
+                             scroll=scroll, backend=args.backend))
         path = os.path.join(args.out_dir, f"frame_{i:05d}.png")
         write_png(path, img)
         dt = clock.stamp()
-        metrics.write(frame=i, seconds=dt,
+        metrics.write(frame=i, seconds=dt, fps=1.0 / max(dt, 1e-9),
                       mrays_per_s=preset.camera.width * preset.camera.height
                       / dt / 1e6)
+    if frame_fn is not None:
+        metrics.write(n_compiles=int(frame_fn._cache_size()))
+        log.info("animation compiled %d executable(s) for %d frames",
+                 frame_fn._cache_size(), args.frames)
     metrics.close()
     log.info("wrote %d frames to %s", args.frames, args.out_dir)
     return 0
@@ -123,7 +179,8 @@ def cmd_fit(args):
     from .models.scene import cloud_volume
     from .ops.camera import camera_rays, make_camera
     from .ops.integrate import render_rays
-    from .utils.checkpoint import save_checkpoint
+    from .utils.checkpoint import (latest_step, restore_checkpoint,
+                                   save_checkpoint)
     from .utils.image import write_png
     from .utils.metrics import MetricsWriter, get_logger
 
@@ -141,9 +198,19 @@ def cmd_fit(args):
 
     metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
     ckpt_dir = os.path.join(args.out_dir, "ckpt")
+    init_grid = init_opt = None
+    start = 0
+    if args.resume and latest_step(ckpt_dir) is not None:
+        import optax
+        template = optax.adam(args.lr).init(
+            jnp.zeros((args.size,) * 3, jnp.float32))
+        start, init_grid, init_opt, _ = restore_checkpoint(
+            ckpt_dir, opt_state_template=template)
+        get_logger().info("resuming fit from step %d (%s)", start, ckpt_dir)
     res = fit_grid(
         target, cam, cfg, med, light, grid_size=args.size,
         steps=args.steps, learning_rate=args.lr, metrics=metrics,
+        init_grid=init_grid, init_opt_state=init_opt, start_step=start,
         checkpoint_fn=lambda s, g, st: save_checkpoint(ckpt_dir, s, g, st),
         checkpoint_every=max(args.steps // 4, 1))
     final = render_rays(res.grid, o, d, cfg, med, light)
@@ -194,6 +261,9 @@ def main(argv=None):
     pf.add_argument("--steps", type=int, default=100)
     pf.add_argument("--lr", type=float, default=5e-2)
     pf.add_argument("--out-dir", default="fit_run")
+    pf.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in "
+                         "<out-dir>/ckpt (elastic recovery, SURVEY §5.3)")
     pf.set_defaults(fn=cmd_fit)
 
     pi = sub.add_parser("info", help="devices + presets")

@@ -153,6 +153,10 @@ class Preset:
     render: RenderConfig
     medium: MediumConfig
     light: LightConfig
+    # Multi-volume scene builder name in models.scene (e.g. "config3_scene");
+    # None = single build_volume(volume) grid. When set, render_preset
+    # routes through render_scene (per-volume world transforms).
+    scene: str = ""
 
 
 def _perlin_volume(size: int, seed: int = 3) -> VolumeConfig:
@@ -188,7 +192,9 @@ PRESETS = {
         medium=MediumConfig(combine="single", density=8.0),
         light=LightConfig(),
     ),
-    # Config 3: 256^3 two-volume scene, 1024x1024, full backward.
+    # Config 3: 256^3 cloud + smoke TWO-VOLUME scene, 1024x1024, full
+    # backward. Built by models.scene.config3_scene (per-volume world
+    # transforms); `volume` keeps the size/recipe for tooling.
     "config3": Preset(
         name="config3",
         volume=_fbm_cloud(256),
@@ -196,6 +202,7 @@ PRESETS = {
         render=RenderConfig(emission=True, quadrature="sliced"),
         medium=MediumConfig(combine="single", density=8.0),
         light=LightConfig(),
+        scene="config3_scene",
     ),
     # Config 4: 256^3 + shadow light-march, 1080p, animated camera.
     "config4": Preset(

@@ -44,13 +44,19 @@ def fit_grid(
     metrics: Optional[MetricsWriter] = None,
     checkpoint_fn: Optional[Callable] = None,
     checkpoint_every: int = 0,
+    init_opt_state=None,
+    start_step: int = 0,
 ) -> FitResult:
     """Fit a single-channel density grid so the rendered image matches
     target_rgb (H, W, 3). Returns the fitted grid and the loss history.
 
     checkpoint_fn(step, grid, opt_state), when given with
     checkpoint_every > 0, is the periodic-checkpoint hook (failure
-    recovery — SURVEY.md section 5.3/5.4).
+    recovery — SURVEY.md section 5.3/5.4). To resume a preempted fit,
+    pass init_grid/init_opt_state/start_step from
+    utils.checkpoint.restore_checkpoint (the CLI's `fit --resume` does);
+    steps counts total steps, so a resumed run executes steps-start_step
+    more and matches an uninterrupted run exactly (Adam state included).
 
     With quadrature="sliced" the loss differentiates through the MXU
     slice-sweep (ops/sweep.py) — the production path; "fixed" keeps the
@@ -63,7 +69,10 @@ def fit_grid(
         grid = jnp.asarray(init_grid, jnp.float32)
 
     optimizer = optax.adam(learning_rate)
-    opt_state = optimizer.init(grid)
+    if init_opt_state is not None:
+        opt_state = jax.tree.map(jnp.asarray, init_opt_state)
+    else:
+        opt_state = optimizer.init(grid)
 
     if cfg.quadrature == "sliced":
         from .ops.sweep import plan_sweep, sweep_render
@@ -89,7 +98,7 @@ def fit_grid(
 
     log = get_logger()
     losses = []
-    for i in range(steps):
+    for i in range(start_step, steps):
         grid, opt_state, loss = step_fn(grid, opt_state)
         losses.append(float(loss))
         if metrics is not None and (i % 10 == 0 or i == steps - 1):
@@ -97,5 +106,5 @@ def fit_grid(
         if checkpoint_fn and checkpoint_every and (i + 1) % checkpoint_every == 0:
             checkpoint_fn(i + 1, grid, opt_state)
     log.info("fit finished: %d steps, loss %.6f -> %.6f",
-             steps, losses[0], losses[-1])
+             steps - start_step, losses[0], losses[-1])
     return FitResult(grid=grid, losses=losses, steps=steps)

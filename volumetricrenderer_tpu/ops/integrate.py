@@ -36,6 +36,7 @@ from .sampling import sample_trilinear
 __all__ = [
     "reference_media_scroll",
     "sample_sigma",
+    "scene_sigma",
     "render_rays",
     "render_rays_sliced",
     "transform_rays",
@@ -89,8 +90,34 @@ def sample_sigma(grid, pos01, medium: MediumConfig, scroll, address_mode):
     raise ValueError(f"unknown combine mode {medium.combine!r}")
 
 
+def scene_sigma(volumes, pos01, cfg: RenderConfig, medium: MediumConfig,
+                scroll=None):
+    """Summed extinction of a multi-volume scene at shared-box normalized
+    positions pos01 (..., 3). Each volume carries its own world_to_local
+    (the reference's per-object transform: TestMain.cpp:230 computes
+    WorldToLocal = inverse(Model); frag.glsl:36-37 applies it to the ray);
+    densities of overlapping volumes add (independent scatterers).
+    Positions falling outside a volume's own [0,1] box contribute zero —
+    NOT an address-mode repeat (each Volume is a finite object)."""
+    box_min = jnp.asarray(cfg.box_min, jnp.float32)
+    box_range = jnp.asarray(cfg.box_max, jnp.float32) - box_min
+    world = pos01 * box_range + box_min
+    total = jnp.zeros(pos01.shape[:-1], jnp.float32)
+    for vol in volumes:
+        if vol.world_to_local is None:
+            p = pos01
+        else:
+            m = jnp.asarray(vol.world_to_local, jnp.float32)
+            local = world @ m[:3, :3].T + m[:3, 3]
+            p = (local - box_min) / box_range
+        inside = jnp.all((p >= 0.0) & (p <= 1.0), axis=-1)
+        s = sample_sigma(vol.grid, p, medium, scroll, cfg.address_mode)
+        total = total + jnp.where(inside, s, 0.0)
+    return total
+
+
 def _light_transmittance(grid, pos01, medium, scroll, cfg: RenderConfig,
-                         light: LightConfig):
+                         light: LightConfig, sigma_fn=None):
     """Secondary light-march (BASELINE config 4): march from pos01 towards
     the light, accumulate extinction, return exp(-density * integral)."""
     ldir = jnp.asarray(light.direction, jnp.float32)
@@ -102,7 +129,10 @@ def _light_transmittance(grid, pos01, medium, scroll, cfg: RenderConfig,
     def body(i, acc):
         p = pos01 + step01 * (i + 1.0)
         inside = jnp.all((p >= 0.0) & (p <= 1.0), axis=-1)
-        sigma = sample_sigma(grid, p, medium, scroll, cfg.address_mode)
+        if sigma_fn is not None:
+            sigma = sigma_fn(p)
+        else:
+            sigma = sample_sigma(grid, p, medium, scroll, cfg.address_mode)
         return acc + jnp.where(inside, sigma, 0.0)
 
     acc = jax.lax.fori_loop(
@@ -120,11 +150,15 @@ def render_rays(
     light: Optional[LightConfig] = None,
     scroll=None,
     world_to_local=None,
+    sigma_fn=None,
 ):
     """March rays through the volume. Returns RGBA, shape (..., 4).
 
     grid: (D,H,W) or (D,H,W,C) float grid in [0,1];
     origins/directions: (..., 3) world-space rays.
+    sigma_fn: optional pos01 -> extinction override replacing the single
+    grid sample (multi-volume scenes pass scene_sigma; grid may then be
+    None). The shadow march uses the same field.
     """
     if world_to_local is not None:
         origins, directions = transform_rays(origins, directions,
@@ -166,12 +200,16 @@ def render_rays(
         if emission:
             # Skip-work mask (no effect on result): transmittance early-out.
             active = active & (trans > cfg.early_stop_transmittance)
-        sigma = sample_sigma(grid, pos, medium, scroll, cfg.address_mode)
+        if sigma_fn is not None:
+            sigma = sigma_fn(pos)
+        else:
+            sigma = sample_sigma(grid, pos, medium, scroll, cfg.address_mode)
         sigma = jnp.where(active, sigma, 0.0)
         if emission:
             alpha = 1.0 - jnp.exp(-medium.density * sigma * step)
             if use_shadow:
-                lT = _light_transmittance(grid, pos, medium, scroll, cfg, lt)
+                lT = _light_transmittance(grid, pos, medium, scroll, cfg, lt,
+                                          sigma_fn=sigma_fn)
             else:
                 lT = 1.0
             shade = lt.ambient + (1.0 - lt.ambient) * lT
@@ -220,6 +258,7 @@ def render_rays_sliced(
     light: Optional[LightConfig] = None,
     scroll=None,
     light_volume=None,
+    sigma_fn=None,
 ):
     """Gather-based oracle for the *sliced* quadrature (ops/sweep.py).
 
@@ -259,7 +298,10 @@ def render_rays_sliced(
         inbox = ((pa >= 0.0) & (pa <= 1.0) & (pb >= 0.0) & (pb <= 1.0)
                  & (delta * plan.sign > 0.0))
         maskf = inbox.astype(jnp.float32)
-        sigma = sample_sigma(grid, pos, medium, scroll, cfg.address_mode)
+        if sigma_fn is not None:
+            sigma = sigma_fn(pos)
+        else:
+            sigma = sample_sigma(grid, pos, medium, scroll, cfg.address_mode)
         sigma = sigma * maskf
         if emission:
             live = (trans > cfg.early_stop_transmittance).astype(jnp.float32)

@@ -56,7 +56,8 @@ from .camera import Camera, camera_rays
 from .resample import linear_resample_matrix, sample_bilinear_2d
 from .sampling import apply_address_mode
 
-__all__ = ["SweepPlan", "plan_sweep", "sweep_render", "base_rays",
+__all__ = ["SweepPlan", "plan_sweep", "plan_base_dims", "plan_signature",
+           "with_warp_band", "sweep_render", "base_rays",
            "warp_base_to_pixels", "composite_base_maps", "finish_image"]
 
 
@@ -136,7 +137,7 @@ class SweepPlan:
         return (self.v_grid.shape[0], self.u_grid.shape[0])
 
 
-def plan_sweep(
+def _host_geometry(
     camera: Camera,
     grid_shape: Tuple[int, ...],
     cfg: RenderConfig,
@@ -145,15 +146,10 @@ def plan_sweep(
     n_slices: Optional[int] = None,
     max_base_dim: int = 3072,
     min_axis_component: float = 0.05,
-) -> SweepPlan:
-    """Build the static sweep geometry for a concrete camera (host-side).
-
-    Chooses the sweep axis as the coordinate axis along which *every* pixel
-    ray has the largest guaranteed direction component; rays near-parallel
-    to every axis plane (|w_k| < min_axis_component, only possible with
-    very wide FOV) are unsupported — callers fall back to the gather
-    integrator. world_to_local mirrors frag.glsl:36-37's ray transform
-    (the rotating-cube interaction, TestMain.cpp:177-190)."""
+    force_base_dims: Optional[Tuple[int, int]] = None,
+):
+    """Host-side (numpy) sweep geometry shared by plan_sweep and
+    plan_base_dims: axis choice, base-grid axes, slice set."""
     o, d = _camera_rays_np(camera)
     if world_to_local is not None:
         m = np.asarray(world_to_local, np.float64)
@@ -206,7 +202,7 @@ def plan_sweep(
     #  * spacing: uniform in atan(slope). Pixels of a pinhole camera are
     #    ~uniform in angle, so slope-uniform spacing would waste most of
     #    its resolution near the steep end of an oblique view.
-    def base_axis(q, e_t):
+    def base_axis(q, e_t, n_force=None):
         th = np.arctan(q)
         # box footprint in slope space (guard: eye near the first slice
         # plane -> unbounded slopes -> no clipping)
@@ -237,17 +233,109 @@ def plan_sweep(
         spacing = max(meds) if meds else 0.0
         if not spacing or not np.isfinite(spacing):
             spacing = max(th_hi - th_lo, 1e-6) / 64
-        n = int(math.ceil((th_hi - th_lo) / spacing * supersample)) + 2
-        n = max(128, min(_round_up(n, 128), max_base_dim))
+        if n_force is not None:
+            # Compile-stable animation: a caller-fixed dim (usually the max
+            # over an animation's frames) — exact regardless of value, the
+            # resample matrices accept arbitrary row positions.
+            n = int(n_force)
+        else:
+            n = int(math.ceil((th_hi - th_lo) / spacing * supersample)) + 2
+            n = max(128, min(_round_up(n, 128), max_base_dim))
         pad = (th_hi - th_lo) / n
         th_lo, th_hi = th_lo - pad, th_hi + pad
         centers = th_lo + (np.arange(n) + 0.5) / n * (th_hi - th_lo)
         return np.tan(centers), th_lo, th_hi, n
 
-    u_grid, thu_lo, thu_hi, Wb = base_axis(u, e01_xyz[c_b])
-    v_grid, thv_lo, thv_hi, Hb = base_axis(v, e01_xyz[c_a])
+    fh, fw = force_base_dims if force_base_dims is not None else (None, None)
+    u_grid, thu_lo, thu_hi, Wb = base_axis(u, e01_xyz[c_b], fw)
+    v_grid, thv_lo, thv_hi, Hb = base_axis(v, e01_xyz[c_a], fh)
 
     rng_perm = box_range[[c_k, c_a, c_b]]
+    return dict(axis=axis, sign=sign, perm=perm, coord_order=coord_order,
+                e01_xyz=e01_xyz, u_grid=u_grid, v_grid=v_grid,
+                thu_lo=thu_lo, thu_hi=thu_hi, thv_lo=thv_lo, thv_hi=thv_hi,
+                Hb=Hb, Wb=Wb, slice_z=slice_z, S=S, box_min=box_min,
+                box_range=box_range, rng_perm=rng_perm,
+                world_to_local=world_to_local)
+
+
+def plan_base_dims(camera: Camera, grid_shape, cfg: RenderConfig,
+                   world_to_local=None, supersample: float = 1.5,
+                   max_base_dim: int = 3072):
+    """Cheap host-only probe of the base-grid dims a camera would get:
+    returns (Hb, Wb, axis, sign). Animation drivers probe every frame,
+    take the max dims, and pass them back via plan_sweep's
+    force_base_dims so all frames share one jit executable
+    (the interactive-loop parity item: TestMain.cpp:173-256 runs 60 fps
+    with live camera updates; re-jitting per frame would be the analogue
+    of rebuilding the Vulkan pipeline per frame)."""
+    g = _host_geometry(camera, grid_shape, cfg, world_to_local, supersample,
+                       None, max_base_dim)
+    return g["Hb"], g["Wb"], g["axis"], g["sign"]
+
+
+def plan_signature(plan: SweepPlan):
+    """Everything that selects a distinct jit executable for a fixed
+    image/volume size: static meta + array shapes. Two frames with equal
+    signatures reuse one compiled render."""
+    return (plan.axis, plan.sign, plan.perm, plan.base_shape,
+            plan.slice_z.shape[0], plan.warp_band, plan.warp_blk,
+            plan.identity_warp)
+
+
+def with_warp_band(plan: SweepPlan, band: Tuple[int, int]) -> SweepPlan:
+    """Replace the warp band with a caller-unified (>=) one, re-clamping
+    the per-tile pixel-rect origins so the larger window stays in-image.
+    Exact for any band >= the plan's own: the rect is a cover of the
+    pixels whose bilinear splat touches the tile — pixels gathered by a
+    larger cover splat zero weight to this tile."""
+    H, W = plan.warp_rows01.shape
+    band_r, band_c = int(band[0]), int(band[1])
+    if (band_r, band_c) == plan.warp_band:
+        return plan
+    assert band_r >= plan.warp_band[0] and band_c >= plan.warp_band[1]
+    tile_lo = jnp.minimum(
+        plan.warp_tile_lo,
+        jnp.asarray([max(H - band_r, 0), max(W - band_c, 0), 1], jnp.int32))
+    return dataclasses.replace(plan, warp_band=(band_r, band_c),
+                               warp_tile_lo=jnp.maximum(tile_lo, 0))
+
+
+def plan_sweep(
+    camera: Camera,
+    grid_shape: Tuple[int, ...],
+    cfg: RenderConfig,
+    world_to_local=None,
+    supersample: float = 1.5,
+    n_slices: Optional[int] = None,
+    max_base_dim: int = 3072,
+    min_axis_component: float = 0.05,
+    force_base_dims: Optional[Tuple[int, int]] = None,
+    min_warp_band: Optional[Tuple[int, int]] = None,
+) -> SweepPlan:
+    """Build the static sweep geometry for a concrete camera (host-side).
+
+    Chooses the sweep axis as the coordinate axis along which *every* pixel
+    ray has the largest guaranteed direction component; rays near-parallel
+    to every axis plane (|w_k| < min_axis_component, only possible with
+    very wide FOV) are unsupported — callers fall back to the gather
+    integrator. world_to_local mirrors frag.glsl:36-37's ray transform
+    (the rotating-cube interaction, TestMain.cpp:177-190).
+
+    force_base_dims/min_warp_band pin the shape-determining quantities for
+    compile-stable animation (see plan_base_dims)."""
+    g = _host_geometry(camera, grid_shape, cfg, world_to_local, supersample,
+                       n_slices, max_base_dim, min_axis_component,
+                       force_base_dims)
+    (axis, sign, perm, coord_order, e01_xyz, u_grid, v_grid, slice_z,
+     box_min, box_range, rng_perm) = (
+        g["axis"], g["sign"], g["perm"], g["coord_order"], g["e01_xyz"],
+        g["u_grid"], g["v_grid"], g["slice_z"], g["box_min"],
+        g["box_range"], g["rng_perm"])
+    thu_lo, thu_hi, thv_lo, thv_hi = (g["thu_lo"], g["thu_hi"],
+                                      g["thv_lo"], g["thv_hi"])
+    Hb, Wb, S = g["Hb"], g["Wb"], g["S"]
+    c_k, c_a, c_b = coord_order
 
     # Per-pixel warp coordinates, segment lengths, and the adjoint-splat
     # band bounds are computed ON DEVICE in a single jitted call: host-built
@@ -273,6 +361,9 @@ def plan_sweep(
     )
     band_np = np.asarray(band)
     band_r, band_c = int(band_np[0]), int(band_np[1])
+    if min_warp_band is not None:
+        band_r = min(max(band_r, int(min_warp_band[0])), camera.height)
+        band_c = min(max(band_c, int(min_warp_band[1])), camera.width)
     if int(band_np[2]) > 3 or int(band_np[3]) > 3:
         raise ValueError(
             "sweep unsupported: an 8px pixel block spans >3 base tiles "

@@ -20,6 +20,12 @@ Quadratures and backends (RenderConfig.quadrature selects the math,
   backend "auto" picks sweep for sliced (falling back to fixed/reference
   if the camera geometry does not admit a sweep axis) and reference for
   fixed.
+
+There is deliberately no per-ray fixed-quadrature Pallas kernel: the
+slice-sweep reformulation subsumes it (same integral, MXU-friendly
+quadrature; kernels/sweep_pallas.py is its fused form), and a per-ray
+gather march is exactly the memory pattern TPUs cannot run fast
+(scalar 8-corner gathers — measured ~0.1M rays/s via XLA).
 """
 from __future__ import annotations
 
@@ -30,13 +36,14 @@ import jax.numpy as jnp
 
 from .config import (CameraConfig, LightConfig, MediumConfig, Preset,
                      RenderConfig)
-from .models.scene import build_volume
+from .models.scene import Volume, bake_scene, build_volume
 from .ops.camera import Camera, camera_rays, make_camera
 from .ops.integrate import (reference_media_scroll, render_rays,
-                            render_rays_sliced)
+                            render_rays_sliced, scene_sigma)
 from .ops.sweep import SweepPlan, plan_sweep, sweep_render
 
-__all__ = ["render", "render_preset", "render_image", "plan_for"]
+__all__ = ["render", "render_preset", "render_image", "render_scene",
+           "plan_for"]
 
 
 def plan_for(camera: Camera, grid_shape, cfg: RenderConfig,
@@ -98,15 +105,66 @@ def render_image(
 render = render_image
 
 
+def render_scene(
+    volumes,
+    camera: Camera,
+    cfg: RenderConfig,
+    medium: MediumConfig,
+    light: Optional[LightConfig] = None,
+    scroll=None,
+    backend: str = "auto",
+    bake_size: Optional[int] = None,
+    plan: Optional[SweepPlan] = None,
+):
+    """Render a multi-volume scene: N density grids, each with its own
+    world transform (models.scene.Volume), composited as independent
+    scatterers (densities add where volumes overlap).
+
+    The reference's analogue is its single transformed cube
+    (TestMain.cpp:230 + frag.glsl:36-37); BASELINE config 3 specifies a
+    cloud + smoke two-volume scene.
+
+    Paths: backend "auto"/"sweep" bakes the scene onto one shared grid
+    (models.scene.bake_scene — once per scene, exact for voxel-aligned
+    translations) and runs the MXU slice-sweep per frame; backend
+    "reference" marches rays against the exact per-volume fields
+    (ops/integrate.scene_sigma — arbitrary affines, no bake error)."""
+    volumes = [v if isinstance(v, Volume) else Volume(v) for v in volumes]
+    if medium.combine != "single":
+        raise NotImplementedError(
+            "multi-volume scenes support combine='single' media")
+    if backend in ("auto", "sweep") and cfg.quadrature == "sliced":
+        size = bake_size or max(max(v.grid.shape[:3]) for v in volumes)
+        grid = bake_scene(volumes, size, cfg)
+        return render_image(grid, camera, cfg, medium, light,
+                            scroll=scroll, backend=backend, plan=plan)
+    origins, directions = camera_rays(camera)
+    sigma = lambda pos: scene_sigma(volumes, pos, cfg, medium, scroll)
+    if cfg.quadrature == "sliced":
+        size = bake_size or max(max(v.grid.shape[:3]) for v in volumes)
+        if plan is None:
+            plan = plan_for(camera, (size,) * 3, cfg)
+        return render_rays_sliced(None, origins, directions, plan, cfg,
+                                  medium, light, scroll=scroll,
+                                  sigma_fn=sigma)
+    return render_rays(None, origins, directions, cfg, medium, light,
+                       scroll=scroll, sigma_fn=sigma)
+
+
 def render_preset(preset: Preset, t: float = 0.0, grid=None,
                   backend: str = "auto", plan: Optional[SweepPlan] = None):
     """Render a named BASELINE preset at animation time t (seconds).
 
     The time parameter drives the media scroll exactly like the demo loop
     (TestMain.cpp:232-238 feeds Clock::Elapsed into MediaScroll)."""
+    cam = make_camera(preset.camera)
+    if grid is None and preset.scene:
+        from .models import scene as scene_mod
+        volumes = getattr(scene_mod, preset.scene)(preset.volume.size)
+        return render_scene(volumes, cam, preset.render, preset.medium,
+                            preset.light, backend=backend, plan=plan)
     if grid is None:
         grid = build_volume(preset.volume)
-    cam = make_camera(preset.camera)
     n_channels = grid.shape[-1] if grid.ndim == 4 else 1
     scroll = reference_media_scroll(t, n_channels=max(n_channels, 1))
     return render_image(grid, cam, preset.render, preset.medium,

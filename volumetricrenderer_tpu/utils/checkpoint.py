@@ -4,8 +4,10 @@ TPU equivalent (SURVEY.md section 5.4): save/restore density grid +
 optimizer state + step counter so a preempted multi-host fit resumes, with
 deterministic seed-driven regeneration kept as the fast path.
 
-Uses orbax-checkpoint when available, with a numpy .npz fallback so the
-subsystem works in minimal environments.
+Format: numpy .npz + a JSON metadata sidecar, written atomically via
+temp-file rename (preemption-safe). A deliberately dependency-free format:
+checkpoints here are a single dense grid + small optimizer pytree, so a
+hierarchical checkpointing library would add surface without capability.
 """
 from __future__ import annotations
 
