@@ -121,6 +121,42 @@ def main():
         float(fwdbwd_k(grid, jnp.float32(i + 1.0)))
     per_frame = (time.perf_counter() - t0) / ITERS / FRAMES
 
+    # --- Observability: MFU + early-exit rate (SURVEY §5.1) ---
+    # Dense matmul FLOPs actually issued to the MXU per fwd+bwd frame
+    # (row resample fwd + recompute, column-scatter and dG matmuls bwd),
+    # and "useful" FLOPs — only the 2-tap bilinear work the banded
+    # matrices encode (2 taps x mul+add per output element). The ratio of
+    # the two is the known density cost of expressing a banded resample
+    # as a dense matmul.
+    Hb, Wb = plan.base_shape
+    S = plan.slice_z.shape[0]
+    A = VOLUME
+    # fwd row-resample + bwd recompute + dG (each (Hb,A)x(A,A)) and the
+    # bwd column-scatter ((Hb,Wb)x(Wb,A)):
+    dense = 2.0 * S * Hb * A * (3.0 * A + Wb)
+    # 2-tap useful work: 4 flops/output for each row-resample (S,Hb,A) and
+    # column stage (S,Hb,Wb), roughly doubled for backward, plus ~16
+    # compositing/adjoint flops per (slice, base pixel):
+    useful = 2.0 * (4.0 * S * Hb * A + 4.0 * S * Hb * Wb) \
+        + 16.0 * S * Hb * Wb
+    peak = float(os.environ.get("VOLT_PEAK_FLOPS", 197e12))  # v5e bf16
+    mfu = dense / per_frame / peak
+    useful_mfu = useful / per_frame / peak
+
+    # Early-exit rate: fraction of base pixels whose final transmittance
+    # crossed the gate (work skipped behind them).
+    from volumetricrenderer_tpu.ops.sweep import _sweep_base
+
+    @jax.jit
+    def trans_map(g):
+        gperm = jnp.transpose(g, plan.perm)
+        maps = _sweep_base(gperm, None, plan.slice_z, plan.v_grid,
+                           plan.u_grid, plan.seglen, plan, cfg, medium,
+                           None, None)
+        return jnp.mean((maps[1] <= cfg.early_stop_transmittance)
+                        .astype(jnp.float32))
+    early_exit_rate = float(trans_map(grid))
+
     rays_per_s = WIDTH * HEIGHT / per_frame
     print(json.dumps({
         "metric": "rays/s/chip fwd+bwd at 256^3/1080p",
@@ -129,6 +165,11 @@ def main():
         "vs_baseline": round(rays_per_s / REFERENCE_RAYS_PER_S, 4),
         "grad_allclose_vs_reference": grads_ok,
         "ms_per_frame_fwd_bwd": round(per_frame * 1e3, 2),
+        "mfu": round(mfu, 4),
+        "useful_mfu": round(useful_mfu, 5),
+        "dense_tflops_per_s": round(dense / per_frame / 1e12, 2),
+        "early_exit_rate": round(early_exit_rate, 4),
+        "base_shape": [int(Hb), int(Wb)],
     }))
 
 

@@ -80,3 +80,24 @@ def test_sharded_train_step_optimizes(setup):
     assert losses[-1] < 0.3 * losses[0], losses
     # the optimized grid stays slab-sharded
     assert "slab" in str(g.sharding.spec)
+
+
+def test_sharded_early_exit_gate(setup):
+    """Early exit restored in the sharded path (VERDICT round 1): the
+    slab-LOCAL gate is the same eps-truncation contract as the global
+    gate, so gated sharded vs gated single-device differ by O(eps)."""
+    grid, _, _, cam, plan = setup
+    eps = 1e-3
+    cfg = RenderConfig(emission=True, quadrature="sliced",
+                       early_stop_transmittance=eps)
+    medium = MediumConfig(combine="single", density=50.0)  # saturates fast
+    mesh = make_mesh(data=2, slab=4)
+    want = sweep_render(grid, plan, cfg, medium)
+    got = sweep_render_sharded(grid, plan, mesh, cfg, medium)
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    assert err.max() < 20 * eps, err.max()
+    # and the gate is actually active at this density: gated != ungated
+    cfg_off = RenderConfig(emission=True, quadrature="sliced",
+                           early_stop_transmittance=-1.0)
+    ungated = sweep_render(grid, plan, cfg_off, medium)
+    assert np.abs(np.asarray(ungated) - np.asarray(want)).max() > 0

@@ -28,6 +28,28 @@ def _add_common(p):
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--volume-size", type=int, default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace (Perfetto/TensorBoard) "
+                        "of the render to this directory (SURVEY §5.1)")
+
+
+class _MaybeProfile:
+    """jax.profiler.trace context when a directory is given, no-op else."""
+
+    def __init__(self, profile_dir):
+        self.dir = profile_dir
+
+    def __enter__(self):
+        if self.dir:
+            import jax
+            self._t = jax.profiler.trace(self.dir)
+            self._t.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir:
+            return self._t.__exit__(*exc)
+        return False
 
 
 def _resolve_preset(args):
@@ -59,8 +81,9 @@ def cmd_render(args):
 
     preset = _resolve_preset(args)
     clock = Clock()
-    img = jax.block_until_ready(
-        render_preset(preset, t=args.time, backend=args.backend))
+    with _MaybeProfile(args.profile_dir):
+        img = jax.block_until_ready(
+            render_preset(preset, t=args.time, backend=args.backend))
     dt = clock.stamp()
     write_png(args.out, img)
     rays = preset.camera.width * preset.camera.height
@@ -144,22 +167,23 @@ def cmd_animate(args):
                                 backend="sweep")
 
     clock = Clock()
-    for i in range(args.frames):
-        t = i / args.fps
-        scroll = (reference_media_scroll(t, n_channels=n_ch)
-                  if medium.combine == "reference" else None)
-        if frame_fn is not None:
-            img = jax.block_until_ready(frame_fn(grid, plans[i], scroll))
-        else:
-            img = jax.block_until_ready(
-                render_image(grid, camera_at(i), cfg, medium, light,
-                             scroll=scroll, backend=args.backend))
-        path = os.path.join(args.out_dir, f"frame_{i:05d}.png")
-        write_png(path, img)
-        dt = clock.stamp()
-        metrics.write(frame=i, seconds=dt, fps=1.0 / max(dt, 1e-9),
-                      mrays_per_s=preset.camera.width * preset.camera.height
-                      / dt / 1e6)
+    with _MaybeProfile(args.profile_dir):
+        for i in range(args.frames):
+            t = i / args.fps
+            scroll = (reference_media_scroll(t, n_channels=n_ch)
+                      if medium.combine == "reference" else None)
+            if frame_fn is not None:
+                img = jax.block_until_ready(frame_fn(grid, plans[i], scroll))
+            else:
+                img = jax.block_until_ready(
+                    render_image(grid, camera_at(i), cfg, medium, light,
+                                 scroll=scroll, backend=args.backend))
+            path = os.path.join(args.out_dir, f"frame_{i:05d}.png")
+            write_png(path, img)
+            dt = clock.stamp()
+            metrics.write(frame=i, seconds=dt, fps=1.0 / max(dt, 1e-9),
+                          mrays_per_s=preset.camera.width
+                          * preset.camera.height / dt / 1e6)
     if frame_fn is not None:
         metrics.write(n_compiles=int(frame_fn._cache_size()))
         log.info("animation compiled %d executable(s) for %d frames",

@@ -93,6 +93,7 @@ def supported(plan, cfg: RenderConfig, medium: MediumConfig,
             and grid_ndim == 3
             and plan.slice_z.shape[0] == depth
             and cfg.address_mode in ("mirror", "clamp")
+            and cfg.dtype == "float32"  # bf16 grids take the jnp sweep
             and Hb % RB == 0
             and Wb % LANES == 0)
 

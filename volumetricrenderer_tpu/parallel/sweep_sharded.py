@@ -65,8 +65,6 @@ def sweep_render_sharded(
     len(plan.slice_z) % slab == 0 (base dims are multiples of 64 and
     slice counts are the grid depth, so power-of-two meshes divide them).
     """
-    import dataclasses
-
     n_slab = mesh.shape[SLAB_AXIS]
     squeeze_c = grid.ndim == 3
     gperm = jnp.transpose(grid, plan.perm + ((3,) if not squeeze_c else ()))
@@ -80,10 +78,18 @@ def sweep_render_sharded(
 
     grid_spec = P(SLAB_AXIS) if gperm.ndim == 3 else P(SLAB_AXIS, None,
                                                        None, None)
-    # The transmittance early-exit gate reads *global* transmittance,
-    # which a slab-local sweep cannot see: disable it so the slab monoid
-    # stays exact.
-    cfg_local = dataclasses.replace(cfg, early_stop_transmittance=-1.0)
+    # Early exit under slab sharding: the gate runs on *slab-local*
+    # transmittance. This is the same epsilon-truncation contract as the
+    # unsharded gate — skipping once local T < eps changes this slab's
+    # partial by < eps, and the monoid composite scales that by the prefix
+    # transmittance (<= 1), so total error stays < eps. What it cannot
+    # capture is work wasted in BACK slabs hidden by front slabs (their
+    # local T starts at 1); recovering that would require pipelining slabs
+    # front-to-back (serializing the slab axis) or a gathered prefix gate
+    # with the same dependency — the measured waste is bounded by the
+    # fraction of saturated rays times (n_slab-1)/n_slab and is the price
+    # of full slab parallelism.
+    cfg_local = cfg
 
     # Shard the slice set in *k order* so each device sweeps exactly the
     # slices of its own layer block; front-to-back then means: flip the
