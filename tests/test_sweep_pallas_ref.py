@@ -1,0 +1,109 @@
+"""Parity tests for the 4-channel reference-combine fused Pallas kernels
+(kernels/sweep_pallas.py `sweep_base_pallas_ref`): the "reference" preset's
+media — per-channel coordinate scale + scroll, mirror addressing, combine
+(s1*s2)*(s3+s4)*scale (frag.glsl:63-71) — in interpret mode on CPU vs the
+jnp sweep, forward and gradients, both emission modes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from volumetricrenderer_tpu.config import (CameraConfig, MediumConfig,
+                                           RenderConfig)
+from volumetricrenderer_tpu.kernels import sweep_pallas as sp
+from volumetricrenderer_tpu.ops.camera import make_camera
+from volumetricrenderer_tpu.ops.integrate import reference_media_scroll
+from volumetricrenderer_tpu.ops.sweep import _sweep_base, plan_sweep
+
+D = 16
+
+
+def _setup(emission, eye=(3.0, 3.0, 3.0), seed=0):
+    cfg = RenderConfig(emission=emission, quadrature="sliced",
+                       address_mode="mirror")
+    medium = MediumConfig(combine="reference", density=1.0)
+    cam = make_camera(CameraConfig(eye=eye, width=96, height=64))
+    rng = np.random.default_rng(seed)
+    grid = jnp.asarray(rng.uniform(0.1, 1.0, (D, D, D, 4)), jnp.float32)
+    plan = plan_sweep(cam, grid.shape, cfg)
+    return cfg, medium, plan, grid
+
+
+def _jnp_base(grid, plan, cfg, medium, scroll):
+    gperm = jnp.transpose(grid, plan.perm + (3,))
+    return _sweep_base(gperm, None, plan.slice_z, plan.v_grid, plan.u_grid,
+                       plan.seglen, plan, cfg, medium, None, scroll)
+
+
+def _pallas_base(grid, plan, cfg, medium, scroll):
+    gperm = jnp.transpose(grid, plan.perm + (3,))
+    return sp.sweep_base_pallas_ref(gperm, plan, cfg, medium, None,
+                                    scroll=scroll, interpret=True)
+
+
+def _close(a, b):
+    for x, y, n in zip(a, b, ("acc", "trans", "color", "hit")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-5, err_msg=n)
+
+
+@pytest.mark.parametrize("emission", [False, True])
+@pytest.mark.parametrize("t", [0.0, 1.7])
+def test_forward_parity(emission, t):
+    cfg, medium, plan, grid = _setup(emission)
+    scroll = reference_media_scroll(t) if t else None
+    _close(_pallas_base(grid, plan, cfg, medium, scroll),
+           _jnp_base(grid, plan, cfg, medium, scroll))
+
+
+@pytest.mark.parametrize("eye", [(-3.0, 2.5, 2.0), (2.0, -3.2, 2.4),
+                                 (1.5, 2.0, 3.4)])
+def test_forward_parity_axes(eye):
+    cfg, medium, plan, grid = _setup(True, eye=eye)
+    _close(_pallas_base(grid, plan, cfg, medium, None),
+           _jnp_base(grid, plan, cfg, medium, None))
+
+
+@pytest.mark.parametrize("emission", [False, True])
+def test_grad_parity(emission):
+    cfg, medium, plan, grid = _setup(emission, seed=3)
+    scroll = reference_media_scroll(0.9)
+
+    def loss(base_fn, g):
+        acc, trans, color, hit = base_fn(g, plan, cfg, medium, scroll)
+        return (jnp.sum(color ** 2) + jnp.sum(trans ** 2)
+                + jnp.sum(acc ** 2) * 0.1)
+
+    with jax.default_matmul_precision("highest"):
+        gp = np.asarray(jax.grad(lambda g: loss(_pallas_base, g))(grid))
+        gj = np.asarray(jax.grad(lambda g: loss(_jnp_base, g))(grid))
+    scale = np.abs(gj).max()
+    np.testing.assert_allclose(gp, gj, rtol=2e-3, atol=2e-3 * scale)
+    assert scale > 0
+
+
+def test_supported_gate_reference():
+    cfg, medium, plan, grid = _setup(False)
+    scroll = reference_media_scroll(1.0)
+    assert sp.supported(plan, cfg, medium, None, scroll, 4, D)
+    # clamp addressing: the scrolled coords leave [0,1]; jnp path only
+    import dataclasses
+    cfg_clamp = dataclasses.replace(cfg, address_mode="clamp")
+    assert not sp.supported(plan, cfg_clamp, medium, None, scroll, 4, D)
+    # single-channel grid with reference combine is invalid
+    assert not sp.supported(plan, cfg, medium, None, None, 3, D)
+
+
+def test_reference_preset_end_to_end_pallas():
+    """sweep_render with use_pallas (interpret) on reference-preset media
+    matches the jnp path end to end (image space)."""
+    from volumetricrenderer_tpu.ops.sweep import sweep_render
+    cfg, medium, plan, grid = _setup(False)
+    scroll = reference_media_scroll(0.5)
+    a = sweep_render(grid, plan, cfg, medium, scroll=scroll,
+                     use_pallas=False)
+    gperm_maps = _pallas_base(grid, plan, cfg, medium, scroll)
+    from volumetricrenderer_tpu.ops.sweep import finish_image
+    b = finish_image(gperm_maps, plan, cfg, medium, pallas_warp=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-4)

@@ -87,15 +87,24 @@ def supported(plan, cfg: RenderConfig, medium: MediumConfig,
     Hb, Wb = plan.base_shape
     light_ok = light_volume is None or (cfg.emission
                                         and light_volume.ndim == 3)
+    common = (plan.slice_z.shape[0] == depth
+              and cfg.dtype == "float32"  # bf16 grids take the jnp sweep
+              and Hb % RB == 0
+              and Wb % LANES == 0)
+    if medium.combine == "reference":
+        # The "reference" preset's 4-channel combine with per-channel
+        # coordinate scale + scroll (frag.glsl:63-71), mirror addressing
+        # as the Vulkan sampler (VulkanCore.cpp:683-685).
+        return (common
+                and grid_ndim == 4
+                and light_volume is None
+                and cfg.address_mode == "mirror")
     return (medium.combine == "single"
+            and common
             and light_ok
             and scroll is None
             and grid_ndim == 3
-            and plan.slice_z.shape[0] == depth
-            and cfg.address_mode in ("mirror", "clamp")
-            and cfg.dtype == "float32"  # bf16 grids take the jnp sweep
-            and Hb % RB == 0
-            and Wb % LANES == 0)
+            and cfg.address_mode in ("mirror", "clamp"))
 
 
 def _pad_lanes(t, B):
@@ -490,15 +499,20 @@ def _row_matrices(plan, A, address_mode):
 
 
 def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
-                      interpret=False):
+                      scroll=None, interpret=False):
     """(acc, trans, color, hit) base maps via the fused forward kernel,
     with gradients from the fused backward kernel (jax.custom_vjp).
 
-    gperm: (S, A, B) volume transposed so the sweep axis is dim 0;
+    gperm: (S, A, B) volume transposed so the sweep axis is dim 0 — or
+    (S, A, B, 4) with medium.combine == "reference" (dispatches to the
+    4-channel kernels below);
     lperm: optional light-transmittance volume in the same layout
     (ops/lighting.py), shaded per slice as in ops/sweep._sweep_base.
     Gradients flow to gperm AND lperm. plan arrays are closed over
     (constants w.r.t. differentiation)."""
+    if medium.combine == "reference":
+        return sweep_base_pallas_ref(gperm, plan, cfg, medium, light,
+                                     scroll=scroll, interpret=interpret)
     lt = light if light is not None else LightConfig()
     lcol = jnp.asarray(lt.color, jnp.float32)
     params = _params_for(plan, cfg, medium, lt)
@@ -575,3 +589,417 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
 
     f2.defvjp(f2_fwd, f2_bwd)
     return f2(gperm, lperm)
+
+
+# ---------------------------------------------------------------------------
+# Reference-combine kernels: 4 channels, per-channel coordinate scale +
+# scroll, mirror addressing — the "reference" preset's media
+# (frag.glsl:63-71: sigma = (s1*s2)*(s3+s4)*scale with scaled+scrolled
+# sample coords per channel; sampler mirror semantics
+# VulkanCore.cpp:683-685).
+#
+# Decomposition: the sweep-axis layer-lerp at per-channel scaled/scrolled
+# k-coords is hoisted OUT of the kernel into plain XLA (_layer_channels:
+# one (S, 4, A, B) gather+lerp per frame — differentiable, so autodiff
+# chains voxel gradients through it); the kernels stream those lerped
+# slices plus per-(slice, channel) banded row matrices and do, per slice:
+# 4 MXU row-resamples, 4 mirrored lane-gather column stages, the channel
+# combine, and the same compositing/adjoint math as the single-channel
+# kernels. Mirror addressing of the in-plane taps is index arithmetic
+# (period-2B reflection) on the lane vectors.
+# ---------------------------------------------------------------------------
+
+NCH = 4
+
+
+def _mirror_idx(i, n):
+    """VK_MIRRORED_REPEAT on integer texel indices (lane math; matches
+    ops/sampling.apply_address_mode)."""
+    m = jnp.remainder(i, 2 * n)
+    return jnp.where(m >= n, 2 * n - 1 - m, m)
+
+
+def _col_taps_ref(e_b, delta, ug_row, B, sc, offb):
+    """Column taps for one (slice, channel): mirrored indices + fraction
+    at scaled/scrolled coords, and the UNSCALED in-box mask (the box test
+    comes from the ray, frag.glsl:39-46; the sampler mirror applies only
+    to the texture coordinate)."""
+    b01 = e_b + delta * ug_row
+    b_in = ((b01 >= 0.0) & (b01 <= 1.0)).astype(jnp.float32)
+    pc = b01 * sc + offb
+    pb = pc * B - 0.5
+    ibf = jnp.floor(pb)
+    fb = pb - ibf
+    ib = ibf.astype(jnp.int32)
+    return _mirror_idx(ib, B), _mirror_idx(ib + 1, B), fb, b_in
+
+
+def _fwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
+                    with_ckpt):
+    i = 0
+    l_ref = refs[i]; i += 1          # (ch, NCH, A, B) lerped layers
+    wa_ref = refs[i]; i += 1         # (ch, NCH, RB, A)
+    ug_ref = refs[i]; i += 1
+    seg_ref = refs[i]; i += 1
+    acc_ref, trans_ref, wsum_ref, hit_ref = refs[i:i + 4]; i += 4
+    tck_ref = wck_ref = None
+    if with_ckpt:
+        tck_ref, wck_ref = refs[i:i + 2]
+
+    sc_i = pl.program_id(1)
+
+    @pl.when(sc_i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+        trans_ref[:] = jnp.ones(trans_ref.shape, jnp.float32)
+        wsum_ref[:] = jnp.zeros(wsum_ref.shape, jnp.float32)
+        hit_ref[:] = jnp.zeros(hit_ref.shape, jnp.float32)
+
+    if with_ckpt:
+        tck_ref[0] = trans_ref[:]
+        wck_ref[0] = wsum_ref[:]
+
+    e_k, e_b = params_ref[0], params_ref[2]
+    sign, density, sscale = params_ref[3], params_ref[4], params_ref[5]
+    thresh = params_ref[6]
+    B = l_ref.shape[3]
+    n_pieces = max(1, B // LANES)
+    Wb_n = ug_ref.shape[1]
+
+    for s in range(ch):
+        z = slice_z_ref[sc_i * ch + s]
+        delta = z - e_k
+
+        @pl.when(delta * sign > 0.0)
+        def _(s=s, delta=delta):
+            r = []
+            b_in = None
+            for c in range(NCH):
+                t = _pad_lanes(jnp.dot(wa_ref[s, c], l_ref[s, c],
+                                       preferred_element_type=jnp.float32),
+                               B)
+                i0, i1, fb, b_in = _col_taps_ref(
+                    e_b, delta, ug_ref[0, :], B,
+                    params_ref[8 + c], params_ref[12 + c])
+                r.append(_gather_cols(t, i0, i1, fb, Wb_n, n_pieces))
+            sigma = (r[0] * r[1]) * (r[2] + r[3]) * (sscale * b_in[None, :])
+
+            if emission:
+                trans = trans_ref[:]
+                live = (trans > thresh).astype(jnp.float32)
+                alpha = live * (
+                    1.0 - jnp.exp(-density * sigma * seg_ref[:]))
+                wsum_ref[:] = wsum_ref[:] + trans * alpha
+                trans_ref[:] = trans * (1.0 - alpha)
+            else:
+                acc_ref[:] = acc_ref[:] + sigma * seg_ref[:]
+                a_in = jnp.sum(wa_ref[s, 0], axis=1, keepdims=True)
+                a_in = jnp.minimum(a_in, 1.0)
+                hit_ref[:] = jnp.maximum(hit_ref[:], a_in * b_in[None, :])
+
+
+def _run_fwd_ref(lperm4, slice_z, wa_all, u_grid, seglen, params,
+                 emission, with_ckpt, interpret=False):
+    S, _, A, B = lperm4.shape
+    Hb = wa_all.shape[2]
+    Wb_n = u_grid.shape[0]
+    n_rb = Hb // RB
+    ch = math.gcd(CHUNK, S)
+    n_sc = S // ch
+
+    in_specs = [
+        pl.BlockSpec((ch, NCH, A, B), lambda rb, sc, *_: (sc, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ch, NCH, RB, A), lambda rb, sc, *_: (sc, 0, rb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Wb_n), lambda rb, sc, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((RB, Wb_n), lambda rb, sc, *_: (rb, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [lperm4, wa_all, u_grid.reshape(1, Wb_n), seglen]
+
+    map_out = pl.BlockSpec((RB, Wb_n), lambda rb, sc, *_: (rb, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = [map_out] * 4
+    out_shape = [jax.ShapeDtypeStruct((Hb, Wb_n), jnp.float32)] * 4
+    if with_ckpt:
+        ck = pl.BlockSpec((1, RB, Wb_n), lambda rb, sc, *_: (sc, rb, 0),
+                          memory_space=pltpu.VMEM)
+        out_specs += [ck, ck]
+        out_shape += [jax.ShapeDtypeStruct((n_sc, Hb, Wb_n),
+                                           jnp.float32)] * 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_rb, n_sc),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_ref, emission=emission, ch=ch,
+                          with_ckpt=with_ckpt),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=NCH * (2 * S * Hb * A * B + 10 * S * Hb * Wb_n),
+            bytes_accessed=4 * (n_rb * S * NCH * A * B
+                                + S * NCH * Hb * A + 5 * Hb * Wb_n),
+            transcendentals=S * Hb * Wb_n,
+        ),
+        interpret=interpret,
+    )(slice_z, params, *inputs)
+
+
+def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch):
+    i = 0
+    l_ref = refs[i]; i += 1
+    wa_ref = refs[i]; i += 1
+    ug_ref = refs[i]; i += 1
+    seg_ref = refs[i]; i += 1
+    if emission:
+        cw_ref = refs[i]; i += 1
+        bct_ref = refs[i]; i += 1
+        tck_ref = refs[i]; i += 1
+        wck_ref = refs[i]; i += 1
+    else:
+        ctacc_ref = refs[i]; i += 1
+    dl_ref = refs[i]
+
+    sc_i = pl.program_id(0)
+    rb = pl.program_id(1)
+
+    @pl.when(rb == 0)
+    def _():
+        dl_ref[:] = jnp.zeros(dl_ref.shape, jnp.float32)
+
+    e_k, e_b = params_ref[0], params_ref[2]
+    sign, density, sscale = params_ref[3], params_ref[4], params_ref[5]
+    thresh = params_ref[6]
+    B = l_ref.shape[3]
+    Wb_n = ug_ref.shape[1]
+    n_pieces = max(1, B // LANES)
+    seg = seg_ref[:]
+
+    if emission:
+        T = tck_ref[0]
+        Wr = wck_ref[0]
+        cw = cw_ref[:]
+        bct = bct_ref[:]
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Wb_n, B), 1)
+    tA = (((0,), (0,)), ((), ()))
+
+    for s in range(ch):
+        z = slice_z_ref[sc_i * ch + s]
+        delta = z - e_k
+        frontf = jnp.where(delta * sign > 0.0, 1.0, 0.0)
+
+        # Recompute the 4 resampled channel slices exactly as forward.
+        r = []
+        taps = []
+        b_in = None
+        for c in range(NCH):
+            t = _pad_lanes(jnp.dot(wa_ref[s, c], l_ref[s, c],
+                                   preferred_element_type=jnp.float32), B)
+            i0, i1, fb, b_in = _col_taps_ref(
+                e_b, delta, ug_ref[0, :], B,
+                params_ref[8 + c], params_ref[12 + c])
+            taps.append((i0, i1, fb))
+            r.append(_gather_cols(t, i0, i1, fb, Wb_n, n_pieces))
+        sigma = (r[0] * r[1]) * (r[2] + r[3]) * (sscale * b_in[None, :])
+
+        if emission:
+            E = jnp.exp(-density * sigma * seg)
+            live = (T > thresh).astype(jnp.float32) * frontf
+            alpha = live * (1.0 - E)
+            Wr = Wr + T * alpha
+            Atil = bct - cw * Wr
+            dsig = live * density * seg * (cw * T * E - Atil)
+            T = T * (1.0 - alpha)
+        else:
+            dsig = frontf * ctacc_ref[:] * seg
+
+        dsig = dsig * (sscale * b_in[None, :])
+        s34 = r[2] + r[3]
+        dr = (dsig * r[1] * s34, dsig * r[0] * s34,
+              dsig * r[0] * r[1], dsig * r[0] * r[1])
+        for c in range(NCH):
+            i0, i1, fb = taps[c]
+            Wbm = (jnp.where(cols == i0[:, None], (1.0 - fb)[:, None], 0.0)
+                   + jnp.where(cols == i1[:, None], fb[:, None], 0.0))
+            u = jnp.dot(dr[c], Wbm, preferred_element_type=jnp.float32)
+            dl_ref[s, c] = dl_ref[s, c] + jax.lax.dot_general(
+                wa_ref[s, c], u, tA, preferred_element_type=jnp.float32)
+
+
+def _run_bwd_ref(lperm4, slice_z, wa_all, u_grid, seglen, params,
+                 emission, cw, bct, tck, wck, ctacc, interpret=False):
+    S, _, A, B = lperm4.shape
+    Hb = wa_all.shape[2]
+    Wb_n = u_grid.shape[0]
+    n_rb = Hb // RB
+    ch = math.gcd(CHUNK, S)
+    n_sc = S // ch
+
+    vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((ch, NCH, A, B), lambda sc, rb, *_: (sc, 0, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((ch, NCH, RB, A), lambda sc, rb, *_: (sc, 0, rb, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, Wb_n), lambda sc, rb, *_: (0, 0), memory_space=vm),
+        pl.BlockSpec((RB, Wb_n), lambda sc, rb, *_: (rb, 0),
+                     memory_space=vm),
+    ]
+    inputs = [lperm4, wa_all, u_grid.reshape(1, Wb_n), seglen]
+    map_rb = pl.BlockSpec((RB, Wb_n), lambda sc, rb, *_: (rb, 0),
+                          memory_space=vm)
+    ck = pl.BlockSpec((1, RB, Wb_n), lambda sc, rb, *_: (sc, rb, 0),
+                      memory_space=vm)
+    if emission:
+        in_specs += [map_rb, map_rb, ck, ck]
+        inputs += [cw, bct, tck, wck]
+    else:
+        in_specs += [map_rb]
+        inputs += [ctacc]
+
+    dls = pl.BlockSpec((ch, NCH, A, B), lambda sc, rb, *_: (sc, 0, 0, 0),
+                       memory_space=vm)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_sc, n_rb),
+        in_specs=in_specs,
+        out_specs=[dls],
+    )
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel_ref, emission=emission, ch=ch),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((S, NCH, A, B), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=NCH * (4 * S * Hb * A * B + 2 * S * Hb * Wb_n * B),
+            bytes_accessed=4 * 2 * n_rb * S * NCH * A * B,
+            transcendentals=S * Hb * Wb_n,
+        ),
+        interpret=interpret,
+    )(slice_z, params, *inputs)
+    return out[0]
+
+
+def _channel_offsets(medium, scroll, coord_order):
+    """Per-channel scroll offsets in (k, a, b) coord order (traced)."""
+    c_k, c_a, c_b = coord_order
+    offs = []
+    for c in range(NCH):
+        if scroll is None:
+            offs.append((jnp.float32(0.0),) * 3)
+        else:
+            o = scroll[c] * medium.channel_scroll_weight[c]
+            offs.append((o[c_k], o[c_a], o[c_b]))
+    return offs
+
+
+def _layer_channels(gperm4, slice_z, medium, offs, address_mode):
+    """XLA precompute: for every slice s and channel c, the layer-lerped
+    2D slab of channel c at k-coord z_s*scale_c + offk_c (the sweep-axis
+    third of the trilinear sample, frag.glsl:66-69). Returns (S, C, A, B);
+    differentiable, so the custom_vjp kernel boundary can sit *after* it
+    and autodiff carries dL -> dgrid through the lerp."""
+    depth = gperm4.shape[0]
+    chans = []
+    for c in range(NCH):
+        qk = slice_z * medium.channel_coord_scale[c] + offs[c][0]
+        p = qk * depth - 0.5
+        i0 = jnp.floor(p)
+        f = (p - i0).astype(jnp.float32)[:, None, None]
+        i0 = i0.astype(jnp.int32)
+        from ..ops.sampling import apply_address_mode
+        l0 = apply_address_mode(i0, depth, address_mode)
+        l1 = apply_address_mode(i0 + 1, depth, address_mode)
+        g = gperm4[..., c]
+        chans.append(jnp.take(g, l0, axis=0) * (1.0 - f)
+                     + jnp.take(g, l1, axis=0) * f)
+    return jnp.stack(chans, axis=1)
+
+
+def _row_matrices_ref(plan, A, medium, offs, address_mode):
+    """Per-(slice, channel) banded row matrices at scaled/scrolled a-coords
+    with mirror addressing, rows zeroed where the UNSCALED position exits
+    the box (the ray-box mask folded into the matrix). (S, C, Hb, A)."""
+    from ..ops.resample import linear_resample_matrix
+
+    def one(z):
+        a01 = plan.eye01[1] + (z - plan.eye01[0]) * plan.v_grid
+        inr = ((a01 >= 0.0) & (a01 <= 1.0)).astype(jnp.float32)
+        mats = []
+        for c in range(NCH):
+            ac = a01 * medium.channel_coord_scale[c] + offs[c][1]
+            mats.append(linear_resample_matrix(ac, A, address_mode)
+                        * inr[:, None])
+        return jnp.stack(mats, axis=0)
+
+    return jax.vmap(one)(plan.slice_z)
+
+
+def sweep_base_pallas_ref(gperm4, plan, cfg, medium, light, scroll=None,
+                          interpret=False):
+    """Reference-combine base maps via the 4-channel fused kernels.
+
+    gperm4: (S, A, B, 4) transposed volume. The layer-lerp precompute and
+    row-matrix build stay in XLA (differentiable); the custom_vjp boundary
+    wraps only the pallas sweep over the lerped slices, so voxel gradients
+    chain automatically through the precompute."""
+    lt = light if light is not None else LightConfig()
+    lcol = jnp.asarray(lt.color, jnp.float32)
+    offs = _channel_offsets(medium, scroll, plan.coord_order)
+    params = jnp.concatenate([
+        _params_for(plan, cfg, medium, lt),
+        jnp.asarray(medium.channel_coord_scale, jnp.float32),
+        jnp.stack([offs[c][2] for c in range(NCH)]),
+    ])
+    wa_all = jax.lax.stop_gradient(
+        _row_matrices_ref(plan, gperm4.shape[2], medium, offs,
+                          cfg.address_mode))
+    lperm4 = _layer_channels(gperm4, plan.slice_z, medium, offs,
+                             cfg.address_mode)
+
+    def run_fwd(L, with_ckpt):
+        return _run_fwd_ref(L, plan.slice_z, wa_all, plan.u_grid,
+                            plan.seglen, params, cfg.emission, with_ckpt,
+                            interpret)
+
+    @jax.custom_vjp
+    def f(L):
+        acc, trans, wsum, hit = run_fwd(L, False)[:4]
+        return acc, trans, wsum[..., None] * lcol, hit
+
+    def f_fwd(L):
+        outs = run_fwd(L, cfg.emission)
+        acc, trans, wsum, hit = outs[:4]
+        tck, wck = (outs[4], outs[5]) if cfg.emission else (None, None)
+        return ((acc, trans, wsum[..., None] * lcol, hit),
+                (L, trans, wsum, tck, wck))
+
+    def f_bwd(res, ct):
+        L, trans, wsum, tck, wck = res
+        ct_acc, ct_trans, ct_color, _ct_hit = ct
+        if cfg.emission:
+            cw = jnp.einsum("abc,c->ab", ct_color, lcol)
+            bct = ct_trans * trans + cw * wsum
+            dL = _run_bwd_ref(L, plan.slice_z, wa_all, plan.u_grid,
+                              plan.seglen, params, True, cw, bct, tck, wck,
+                              None, interpret)
+        else:
+            dL = _run_bwd_ref(L, plan.slice_z, wa_all, plan.u_grid,
+                              plan.seglen, params, False, None, None, None,
+                              None, ct_acc, interpret)
+        return (dL,)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(lperm4)

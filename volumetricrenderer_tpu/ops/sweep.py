@@ -922,7 +922,7 @@ def sweep_render(
             "pallas sweep kernel does not support this configuration")
     if use_pallas:
         base_maps = _sp.sweep_base_pallas(gperm, plan, cfg, medium, light,
-                                          lperm=lperm)
+                                          lperm=lperm, scroll=scroll)
     else:
         base_maps = _sweep_base(gperm, lperm, plan.slice_z, plan.v_grid,
                                 plan.u_grid, plan.seglen, plan, cfg, medium,
