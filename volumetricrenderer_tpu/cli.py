@@ -166,6 +166,8 @@ def cmd_animate(args):
                                 plan=plan, light_volume=lv,
                                 backend="sweep")
 
+    import numpy as np
+    collected = [] if args.video else None
     clock = Clock()
     with _MaybeProfile(args.profile_dir):
         for i in range(args.frames):
@@ -180,10 +182,18 @@ def cmd_animate(args):
                                  scroll=scroll, backend=args.backend))
             path = os.path.join(args.out_dir, f"frame_{i:05d}.png")
             write_png(path, img)
+            if collected is not None:
+                collected.append(np.asarray(img))
             dt = clock.stamp()
             metrics.write(frame=i, seconds=dt, fps=1.0 / max(dt, 1e-9),
                           mrays_per_s=preset.camera.width
                           * preset.camera.height / dt / 1e6)
+    if collected is not None:
+        from .utils.video import write_video
+        vpath = args.video if os.path.isabs(args.video) else os.path.join(
+            args.out_dir, args.video)
+        write_video(vpath, collected, fps=args.fps)
+        log.info("wrote animation to %s", vpath)
     if frame_fn is not None:
         metrics.write(n_compiles=int(frame_fn._cache_size()))
         log.info("animation compiled %d executable(s) for %d frames",
@@ -277,6 +287,10 @@ def main(argv=None):
     pa.add_argument("--orbit", action="store_true",
                     help="orbit camera path (config 4)")
     pa.add_argument("--out-dir", default="frames")
+    pa.add_argument("--video", default=None,
+                    help="also write the sequence as one animation file: "
+                         ".apng (stdlib), .gif (Pillow), or .html "
+                         "(self-contained scrubber viewer)")
     pa.set_defaults(fn=cmd_animate)
 
     pf = sub.add_parser("fit", help="inverse-render fit demo (config 3)")
