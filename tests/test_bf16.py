@@ -36,11 +36,49 @@ def test_bf16_config_dtype():
     assert cfg.jnp_dtype == jnp.bfloat16
 
 
-def test_bf16_excluded_from_pallas_gate():
+def test_bf16_in_pallas_gate():
+    """Round 3: the fused single-channel kernels stream bf16 (f32
+    accumulators); the gate must accept it (VERDICT r2 item 3)."""
     from volumetricrenderer_tpu.kernels.sweep_pallas import supported
     cfg = RenderConfig(emission=True, quadrature="sliced",
                        dtype="bfloat16")
     grid = cloud_volume(16, seed=7)
     cam = make_camera(CameraConfig(width=48, height=32))
     plan = plan_sweep(cam, grid.shape, cfg)
-    assert not supported(plan, cfg, MED, None, None, 3, 16)
+    assert supported(plan, cfg, MED, None, None, 3, 16)
+    # the 4-channel reference kernels stay f32 (documented)
+    ref_med = MediumConfig()
+    assert not supported(plan, cfg, ref_med, None, None, 4, 16)
+
+
+def test_bf16_pallas_parity_vs_jnp():
+    """Fused kernels at bf16 (interpret mode) vs the jnp sweep at bf16 —
+    same streams, same accumulators, bf16-appropriate tolerance; and the
+    gradient path runs and stays finite with f32-accumulated dG."""
+    import jax
+    from volumetricrenderer_tpu.kernels import sweep_pallas as sp
+    from volumetricrenderer_tpu.ops.sweep import _sweep_base
+    cfg = RenderConfig(emission=True, quadrature="sliced",
+                       dtype="bfloat16")
+    grid = cloud_volume(16, seed=7)
+    cam = make_camera(CameraConfig(width=48, height=32))
+    plan = plan_sweep(cam, grid.shape, cfg)
+    gperm = jnp.transpose(grid, plan.perm)
+    ref = _sweep_base(gperm, None, plan.slice_z, plan.v_grid, plan.u_grid,
+                      plan.seglen, plan, cfg, MED, None, None)
+    got = sp.sweep_base_pallas(gperm, plan, cfg, MED, None,
+                               interpret=True)
+    for x, y, n in zip(got, ref, ("acc", "trans", "wsum", "hit")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-2, atol=2e-2, err_msg=n)
+
+    def loss(g):
+        maps = sp.sweep_base_pallas(g, plan, cfg, MED, None,
+                                    interpret=True)
+        return jnp.sum(maps[1].astype(jnp.float32) ** 2
+                       + maps[2].astype(jnp.float32) ** 2)
+
+    dg = jax.grad(loss)(gperm)
+    assert dg.dtype == gperm.dtype
+    assert np.isfinite(np.asarray(dg, dtype=np.float32)).all()
+    assert float(jnp.abs(dg).max()) > 0

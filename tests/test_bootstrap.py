@@ -9,7 +9,7 @@ from volumetricrenderer_tpu.parallel import bootstrap
 def _reset(monkeypatch):
     monkeypatch.setattr(bootstrap, "_initialized", False)
     for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
-                "JAX_PROCESS_ID"):
+                "JAX_PROCESS_ID", "VOLT_DISTRIBUTED"):
         monkeypatch.delenv(var, raising=False)
 
 
@@ -68,3 +68,18 @@ def test_process_summary_keys():
     s = bootstrap.process_summary()
     assert s["process_count"] == 1 and s["local_devices"] == 8
     assert s["backend"] == "cpu"
+
+
+def test_volt_distributed_opt_in(monkeypatch):
+    """VOLT_DISTRIBUTED=1 makes pod autodetection reachable: initialize()
+    is called with no explicit config for jax.distributed to autodetect."""
+    monkeypatch.setenv("VOLT_DISTRIBUTED", "1")
+    seen = {}
+
+    def ok(**kw):
+        seen.update(kw)
+
+    assert bootstrap.initialize_distributed(_initialize_fn=ok,
+                                            retries=1) is True
+    assert seen["coordinator_address"] is None
+    assert seen["num_processes"] is None and seen["process_id"] is None

@@ -1,0 +1,169 @@
+"""Round-3 coverage: the 4-channel reference combine (frag.glsl:63-71)
+through every production path — sharded sweep, light-volume sweep,
+multi-volume scenes — plus the Pallas sweep kernels running INSIDE
+shard_map (per-device shapes are static)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from volumetricrenderer_tpu.config import (CameraConfig, LightConfig,
+                                           MediumConfig, RenderConfig)
+from volumetricrenderer_tpu.models.scene import Volume, build_volume
+from volumetricrenderer_tpu.config import VolumeConfig, NoiseChannelConfig
+from volumetricrenderer_tpu.ops.camera import make_camera
+from volumetricrenderer_tpu.ops.integrate import (reference_media_scroll,
+                                                  sample_sigma)
+from volumetricrenderer_tpu.ops.media import materialize_sigma
+from volumetricrenderer_tpu.ops.sweep import plan_sweep, sweep_render
+from volumetricrenderer_tpu.parallel.mesh import make_mesh
+from volumetricrenderer_tpu.parallel.sweep_sharded import \
+    sweep_render_sharded
+
+
+def _ref_grid(size=16, seed=1):
+    cfgv = VolumeConfig(size=size, channels=(
+        NoiseChannelConfig("perlin", 0.21, seed),
+        NoiseChannelConfig("perlin", 0.15, seed + 1),
+        NoiseChannelConfig("simplex", 0.18, seed + 2),
+        NoiseChannelConfig("cellular", 0.12, seed + 3),
+    ))
+    return build_volume(cfgv)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = RenderConfig(emission=True, quadrature="sliced")
+    medium = MediumConfig(density=2.0)  # combine="reference"
+    cam = make_camera(CameraConfig(eye=(2.6, 2.1, 2.9), width=64, height=40))
+    grid = _ref_grid(16)
+    plan = plan_sweep(cam, grid.shape, cfg)
+    return grid, cfg, medium, cam, plan
+
+
+def test_materialize_sigma_matches_oracle_at_voxel_centers():
+    """materialize_sigma == sample_sigma evaluated at voxel centers
+    (the reference's per-sample combine, frag.glsl:63-71)."""
+    medium = MediumConfig()
+    grid = _ref_grid(12)
+    scroll = reference_media_scroll(1.3)
+    got = materialize_sigma(grid, medium, scroll, "mirror")
+    n = grid.shape[0]
+    idx = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+    zz, yy, xx = jnp.meshgrid(idx, idx, idx, indexing="ij")
+    pos = jnp.stack([xx, yy, zz], axis=-1)
+    want = sample_sigma(grid, pos, medium, scroll, "mirror")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_reference_combine_parity(setup):
+    """reference preset renders sharded on the 8-CPU mesh with parity vs
+    the single-device sweep (VERDICT r2 item 4)."""
+    grid, cfg, medium, cam, plan = setup
+    scroll = reference_media_scroll(0.8)
+    cfg0 = dataclasses.replace(cfg, early_stop_transmittance=-1.0)
+    want = sweep_render(grid, plan, cfg0, medium, scroll=scroll)
+    mesh = make_mesh(data=2, slab=4)
+    got = sweep_render_sharded(grid, plan, mesh, cfg0, medium,
+                               scroll=scroll)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_reference_combine_grads(setup):
+    grid, cfg, medium, cam, plan = setup
+    scroll = reference_media_scroll(0.4)
+    cfg0 = dataclasses.replace(cfg, early_stop_transmittance=-1.0)
+    mesh = make_mesh(data=2, slab=4)
+
+    def loss_sh(g):
+        img = sweep_render_sharded(g, plan, mesh, cfg0, medium,
+                                   scroll=scroll)
+        return jnp.sum(img[..., :3] ** 2)
+
+    def loss_un(g):
+        img = sweep_render(g, plan, cfg0, medium, scroll=scroll)
+        return jnp.sum(img[..., :3] ** 2)
+
+    g1 = np.asarray(jax.jit(jax.grad(loss_sh))(grid))
+    g2 = np.asarray(jax.jit(jax.grad(loss_un))(grid))
+    scale = np.abs(g2).max()
+    np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-3 * scale)
+
+
+def test_sharded_pallas_interpret_single(setup):
+    """The fused single-channel sweep kernel INSIDE shard_map (interpret
+    mode on the CPU mesh; local base rows must be 128-multiples, so
+    data=1)."""
+    cfg = RenderConfig(emission=True, quadrature="sliced")
+    medium = MediumConfig(combine="single", density=6.0)
+    cam = make_camera(CameraConfig(eye=(2.6, 2.1, 2.9), width=48, height=32))
+    from volumetricrenderer_tpu.models.scene import cloud_volume
+    grid = cloud_volume(16, seed=5)
+    plan = plan_sweep(cam, grid.shape, cfg)
+    cfg0 = dataclasses.replace(cfg, early_stop_transmittance=-1.0)
+    want = sweep_render(grid, plan, cfg0, medium)
+    mesh = make_mesh(data=1, slab=8)
+    got = sweep_render_sharded(grid, plan, mesh, cfg0, medium,
+                               use_pallas=True, pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_pallas_interpret_reference(setup):
+    grid, cfg, medium, cam, plan = setup
+    scroll = reference_media_scroll(0.8)
+    cfg0 = dataclasses.replace(cfg, early_stop_transmittance=-1.0)
+    want = sweep_render(grid, plan, cfg0, medium, scroll=scroll)
+    mesh = make_mesh(data=1, slab=8)
+    got = sweep_render_sharded(grid, plan, mesh, cfg0, medium,
+                               scroll=scroll, use_pallas=True,
+                               pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_light_volume_reference_combine():
+    """Light sweep with the reference combine: transmittance volume in
+    (0, 1], decreasing along the light direction through dense media,
+    and exp(-density * path-integral of materialized sigma)."""
+    cfg = RenderConfig(emission=True, quadrature="sliced")
+    medium = MediumConfig(density=4.0)
+    light = LightConfig(direction=(0.1, 0.1, 1.0))
+    grid = _ref_grid(12)
+    from volumetricrenderer_tpu.ops.lighting import \
+        light_transmittance_volume
+    L = light_transmittance_volume(grid, light, cfg, medium)
+    Ln = np.asarray(L)
+    assert Ln.shape == grid.shape[:3]
+    assert (Ln > 0).all() and (Ln <= 1.0 + 1e-6).all()
+    # z is the dominant light axis: deeper (smaller z) voxels see more
+    # medium, so the mean transmittance must decrease with depth.
+    means = Ln.mean(axis=(1, 2))
+    assert means[0] < means[-1]
+
+
+def test_render_scene_reference_combine():
+    """Multi-volume scene with reference-combine media renders through
+    the baked sweep path and roughly matches the per-ray oracle."""
+    from volumetricrenderer_tpu.render import render_scene
+    cfg = RenderConfig(emission=True, quadrature="sliced")
+    medium = MediumConfig(density=2.0)
+    cam = make_camera(CameraConfig(eye=(2.6, 2.1, 2.9), width=48, height=32))
+    g1 = _ref_grid(16, seed=1)
+    vols = [Volume(g1)]
+    scroll = reference_media_scroll(0.6)
+    img = render_scene(vols, cam, cfg, medium, scroll=scroll)
+    oracle = render_scene(vols, cam, cfg, medium, scroll=scroll,
+                          backend="reference")
+    a, b = np.asarray(img), np.asarray(oracle)
+    assert np.isfinite(a).all()
+    # baked (interpolate-after-combine) vs oracle (combine-after-
+    # interpolate): same field at voxel centers, O(h^2) between — loose
+    # image-level agreement, tight on the mean.
+    assert abs(a[..., :3].mean() - b[..., :3].mean()) < 0.02
+    assert np.abs(a[..., :3] - b[..., :3]).max() < 0.15

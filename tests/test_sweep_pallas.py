@@ -53,7 +53,7 @@ def _pallas_base(grid, plan, cfg, medium, light, lvol):
                                 interpret=True)
 
 
-def _assert_maps_close(a, b, names=("acc", "trans", "color", "hit")):
+def _assert_maps_close(a, b, names=("acc", "trans", "wsum", "hit")):
     for x, y, n in zip(a, b, names):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-4, atol=2e-5, err_msg=n)
@@ -75,9 +75,8 @@ def test_forward_parity(eye, axis, sign, emission):
     cfg, medium, plan, grid, light, _ = _setup(eye, emission)
     assert plan.axis == axis and plan.sign == sign
     ref = _jnp_base(grid, plan, cfg, medium, light, None)
-    # jnp path returns wsum folded into color already (color accumulated
-    # in-scan with lcol); pallas path multiplies wsum * lcol outside —
-    # both are (..., 3) color maps.
+    # both paths return the scalar wsum map (color = wsum * light.color
+    # is applied by finish_image after the warp).
     got = _pallas_base(grid, plan, cfg, medium, light, None)
     _assert_maps_close(got, ref)
 
@@ -92,10 +91,10 @@ def test_forward_parity_light_volume(eye):
 
 
 def _loss(maps, wmaps):
-    acc, trans, color, hit = maps
+    acc, trans, wsum, hit = maps
     wa, wt, wc = wmaps
     return (jnp.sum(acc * wa) + jnp.sum(trans * wt)
-            + jnp.sum(color * wc))
+            + jnp.sum(wsum * wc))
 
 
 @pytest.mark.parametrize("eye", [(3.0, 0.4, 0.3), (-3.0, 0.4, 0.3),
@@ -107,7 +106,7 @@ def test_backward_parity(eye, emission):
     Hb, Wb = plan.base_shape
     wmaps = (jnp.asarray(rng.normal(size=(Hb, Wb)), jnp.float32),
              jnp.asarray(rng.normal(size=(Hb, Wb)), jnp.float32),
-             jnp.asarray(rng.normal(size=(Hb, Wb, 3)), jnp.float32))
+             jnp.asarray(rng.normal(size=(Hb, Wb)), jnp.float32))
 
     g_ref = jax.grad(lambda g: _loss(
         _jnp_base(g, plan, cfg, medium, light, None), wmaps))(grid)
@@ -128,7 +127,7 @@ def test_backward_parity_light_volume():
     Hb, Wb = plan.base_shape
     wmaps = (jnp.zeros((Hb, Wb)),
              jnp.asarray(rng.normal(size=(Hb, Wb)), jnp.float32),
-             jnp.asarray(rng.normal(size=(Hb, Wb, 3)), jnp.float32))
+             jnp.asarray(rng.normal(size=(Hb, Wb)), jnp.float32))
 
     def loss_ref(g, l):
         return _loss(_jnp_base(g, plan, cfg, medium, light, l), wmaps)
@@ -155,7 +154,7 @@ def test_backward_early_stop_gate():
     Hb, Wb = plan.base_shape
     wmaps = (jnp.zeros((Hb, Wb)),
              jnp.asarray(rng.normal(size=(Hb, Wb)), jnp.float32),
-             jnp.asarray(rng.normal(size=(Hb, Wb, 3)), jnp.float32))
+             jnp.asarray(rng.normal(size=(Hb, Wb)), jnp.float32))
     g_ref = jax.grad(lambda g: _loss(
         _jnp_base(g, plan, cfg, medium, light, None), wmaps))(grid)
     g_got = jax.grad(lambda g: _loss(
@@ -183,7 +182,42 @@ def test_supported_gate():
     assert not ok(scroll=jnp.zeros((4, 3)))
     assert not ok(grid_ndim=4)
     assert not ok(depth=D * 2)  # slices not at voxel centers
-    assert not ok(cfg=dataclasses.replace(cfg, address_mode="wrap"))
+    # round 3: wrap addressing and bf16 streams are in-kernel now
+    assert ok(cfg=dataclasses.replace(cfg, address_mode="wrap"))
+    assert ok(cfg=dataclasses.replace(cfg, dtype="bfloat16"))
     # absorption + light volume is not a supported combination
     assert not ok(cfg=dataclasses.replace(cfg, emission=False),
                   light_volume=lvol)
+
+
+@pytest.mark.parametrize("mode", ["wrap", "clamp"])
+def test_forward_parity_address_modes(mode):
+    """Wrap (period-B modulo lane math) and clamp parity vs the jnp sweep
+    — no silent fallback for any sampler address mode (VERDICT r2
+    item 9)."""
+    cfg = RenderConfig(emission=True, quadrature="sliced",
+                       address_mode=mode)
+    medium = MediumConfig(combine="single", density=8.0)
+    cam = make_camera(CameraConfig(eye=(3.0, 0.4, 0.3), width=96,
+                                   height=64))
+    rng = np.random.default_rng(2)
+    grid = jnp.asarray(rng.uniform(0.2, 1.0, (D, D, D)), jnp.float32)
+    plan = plan_sweep(cam, grid.shape, cfg)
+    assert sp.supported(plan, cfg, medium, None, None, 3, D)
+    light = LightConfig(ambient=0.2)
+    ref = _jnp_base(grid, plan, cfg, medium, light, None)
+    got = _pallas_base(grid, plan, cfg, medium, light, None)
+    _assert_maps_close(got, ref)
+
+    # and gradients through the wrap taps
+    def loss(fn):
+        maps = fn(grid, plan, cfg, medium, light, None)
+        return float(jnp.sum(maps[1] ** 2) + jnp.sum(maps[2] ** 2))
+
+    g_ref = jax.grad(lambda g: jnp.sum(
+        _jnp_base(g, plan, cfg, medium, light, None)[2] ** 2))(grid)
+    g_got = jax.grad(lambda g: jnp.sum(
+        _pallas_base(g, plan, cfg, medium, light, None)[2] ** 2))(grid)
+    scale = float(jnp.abs(g_ref).max()) + 1e-12
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4 * scale)

@@ -42,7 +42,7 @@ def _pallas_base(grid, plan, cfg, medium, scroll):
 
 
 def _close(a, b):
-    for x, y, n in zip(a, b, ("acc", "trans", "color", "hit")):
+    for x, y, n in zip(a, b, ("acc", "trans", "wsum", "hit")):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=2e-4, atol=2e-5, err_msg=n)
 
@@ -70,8 +70,8 @@ def test_grad_parity(emission):
     scroll = reference_media_scroll(0.9)
 
     def loss(base_fn, g):
-        acc, trans, color, hit = base_fn(g, plan, cfg, medium, scroll)
-        return (jnp.sum(color ** 2) + jnp.sum(trans ** 2)
+        acc, trans, wsum, hit = base_fn(g, plan, cfg, medium, scroll)
+        return (jnp.sum(wsum ** 2) + jnp.sum(trans ** 2)
                 + jnp.sum(acc ** 2) * 0.1)
 
     with jax.default_matmul_precision("highest"):

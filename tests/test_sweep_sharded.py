@@ -21,8 +21,9 @@ from test_sweep import smooth_volume
 @pytest.fixture(scope="module")
 def setup():
     grid = smooth_volume(16)
-    # early-stop gate off: the sharded path always disables it (it reads
-    # global transmittance), so the single-device reference must too.
+    # early-stop gate off in the FIXTURE so sharded and single-device
+    # sweeps are bitwise-comparable (the slab-local gate is exercised by
+    # test_sharded_early_exit_gate below with its eps-truncation bound).
     cfg = RenderConfig(emission=True, quadrature="sliced",
                        early_stop_transmittance=-1.0)
     medium = MediumConfig(combine="single", density=6.0)

@@ -31,6 +31,10 @@ def _add_common(p):
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace (Perfetto/TensorBoard) "
                         "of the render to this directory (SURVEY §5.1)")
+    p.add_argument("--check-nan", action="store_true",
+                   help="run under checkify float checks: abort with the "
+                        "failing primitive on any NaN/Inf (the sanitizer "
+                        "build analogue, SURVEY §5.2)")
 
 
 class _MaybeProfile:
@@ -81,9 +85,13 @@ def cmd_render(args):
 
     preset = _resolve_preset(args)
     clock = Clock()
+    def do_render(t):
+        return render_preset(preset, t=t, backend=args.backend)
+    if args.check_nan:
+        from .utils.sanitize import checked
+        do_render = checked(do_render)
     with _MaybeProfile(args.profile_dir):
-        img = jax.block_until_ready(
-            render_preset(preset, t=args.time, backend=args.backend))
+        img = jax.block_until_ready(do_render(args.time))
     dt = clock.stamp()
     write_png(args.out, img)
     rays = preset.camera.width * preset.camera.height
@@ -130,7 +138,17 @@ def cmd_animate(args):
 
     preset = _resolve_preset(args)
     os.makedirs(args.out_dir, exist_ok=True)
-    grid = build_volume(preset.volume)
+    if preset.scene:
+        # Multi-volume preset (config 3): bake the scene once onto a shared
+        # grid, exactly like render_preset's auto path — the same preset
+        # must show the same content under `render` and `animate`.
+        from .models import scene as scene_mod
+        from .models.scene import bake_scene
+        volumes = getattr(scene_mod, preset.scene)(preset.volume.size)
+        size = max(max(v.grid.shape[:3]) for v in volumes)
+        grid = bake_scene(volumes, size, preset.render)
+    else:
+        grid = build_volume(preset.volume)
     n_ch = grid.shape[-1] if grid.ndim == 4 else 1
     metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
     log = get_logger()
@@ -150,7 +168,17 @@ def cmd_animate(args):
     frame_fn = None
     if sliced:
         cams = [camera_at(i) for i in range(args.frames)]
-        plans, n_sigs = animation_plans(cams, grid.shape, cfg)
+        try:
+            plans, n_sigs = animation_plans(cams, grid.shape, cfg)
+        except ValueError as e:
+            # One wide-FOV/diagonal frame must not abort the animation:
+            # match render_image's loud per-frame gather fallback instead.
+            log.warning(
+                "no sweep axis for at least one animation frame (%s); "
+                "falling back to the unplanned per-frame path — expect a "
+                "large slowdown on TPU", e)
+            sliced = False
+    if sliced:
         log.info("animation: %d frames share %d executable(s)",
                  args.frames, n_sigs)
 
@@ -219,15 +247,26 @@ def cmd_fit(args):
     from .utils.metrics import MetricsWriter, get_logger
 
     os.makedirs(args.out_dir, exist_ok=True)
-    cfg = RenderConfig(max_steps=64, step_size=4.0 / 64.0, emission=True)
+    # Default: the production MXU sweep path end to end (the quadrature
+    # the whole architecture exists for); --quadrature fixed keeps the
+    # reference-parity gather integrator for cross-checks.
+    if args.quadrature == "sliced":
+        cfg = RenderConfig(emission=True, quadrature="sliced")
+    else:
+        cfg = RenderConfig(max_steps=64, step_size=4.0 / 64.0,
+                           emission=True)
     med = MediumConfig(combine="single", density=8.0)
     light = LightConfig()
     cam = make_camera(CameraConfig(width=args.image_size,
                                    height=args.image_size))
 
     true_grid = cloud_volume(args.size, seed=7)
-    o, d = camera_rays(cam)
-    target = render_rays(true_grid, o, d, cfg, med, light)[..., :3]
+    if args.quadrature == "sliced":
+        from .render import render_image
+        target = render_image(true_grid, cam, cfg, med, light)[..., :3]
+    else:
+        o, d = camera_rays(cam)
+        target = render_rays(true_grid, o, d, cfg, med, light)[..., :3]
     write_png(os.path.join(args.out_dir, "target.png"), np.asarray(target))
 
     metrics = MetricsWriter(os.path.join(args.out_dir, "metrics.jsonl"))
@@ -247,7 +286,11 @@ def cmd_fit(args):
         init_grid=init_grid, init_opt_state=init_opt, start_step=start,
         checkpoint_fn=lambda s, g, st: save_checkpoint(ckpt_dir, s, g, st),
         checkpoint_every=max(args.steps // 4, 1))
-    final = render_rays(res.grid, o, d, cfg, med, light)
+    if args.quadrature == "sliced":
+        from .render import render_image
+        final = render_image(res.grid, cam, cfg, med, light)
+    else:
+        final = render_rays(res.grid, o, d, cfg, med, light)
     write_png(os.path.join(args.out_dir, "fitted.png"),
               np.asarray(final[..., :3]))
     metrics.close()
@@ -299,6 +342,11 @@ def main(argv=None):
     pf.add_argument("--steps", type=int, default=100)
     pf.add_argument("--lr", type=float, default=5e-2)
     pf.add_argument("--out-dir", default="fit_run")
+    pf.add_argument("--quadrature", default="sliced",
+                    choices=["sliced", "fixed"],
+                    help="sliced = differentiate through the production "
+                         "MXU sweep (default); fixed = the reference-"
+                         "parity gather integrator")
     pf.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint in "
                          "<out-dir>/ckpt (elastic recovery, SURVEY §5.3)")

@@ -29,6 +29,7 @@ class FitResult:
     grid: jnp.ndarray
     losses: list
     steps: int
+    skipped_steps: int = 0  # steps the NaN guard refused to apply
 
 
 def fit_grid(
@@ -46,6 +47,7 @@ def fit_grid(
     checkpoint_every: int = 0,
     init_opt_state=None,
     start_step: int = 0,
+    nan_guard: bool = True,
 ) -> FitResult:
     """Fit a single-channel density grid so the rendered image matches
     target_rgb (H, W, 3). Returns the fitted grid and the loss history.
@@ -92,19 +94,45 @@ def fit_grid(
     @jax.jit
     def step_fn(g, st):
         loss, grads = jax.value_and_grad(loss_fn)(g)
+        if nan_guard:
+            # NaN-step skip (SURVEY.md §5.3 elastic recovery): a step whose
+            # loss or gradients are non-finite applies NO update — grid and
+            # optimizer state pass through unchanged, so one corrupt batch/
+            # shard cannot poison the Adam moments.
+            ok = jnp.isfinite(loss) & jnp.all(jnp.isfinite(grads))
+            grads = jnp.where(ok, grads, jnp.zeros_like(grads))
+            updates, st_new = optimizer.update(grads, st, g)
+            g_new = jnp.clip(optax.apply_updates(g, updates), 0.0, 1.0)
+            g = jnp.where(ok, g_new, g)
+            st = jax.tree.map(lambda a, b: jnp.where(ok, a, b), st_new, st)
+            return g, st, loss, ok
         updates, st = optimizer.update(grads, st, g)
         g = optax.apply_updates(g, updates)
-        return jnp.clip(g, 0.0, 1.0), st, loss
+        return jnp.clip(g, 0.0, 1.0), st, loss, jnp.bool_(True)
 
     log = get_logger()
     losses = []
+    if start_step >= steps:
+        # Resuming a completed fit (the CLI checkpoints at step == steps):
+        # nothing left to do.
+        log.info("fit already complete at step %d/%d", start_step, steps)
+        return FitResult(grid=grid, losses=losses, steps=steps)
+    skipped = 0
     for i in range(start_step, steps):
-        grid, opt_state, loss = step_fn(grid, opt_state)
+        grid, opt_state, loss, ok = step_fn(grid, opt_state)
         losses.append(float(loss))
+        if not bool(ok):
+            skipped += 1
+            log.warning("fit step %d skipped: non-finite loss/gradients "
+                        "(loss=%r)", i, float(loss))
         if metrics is not None and (i % 10 == 0 or i == steps - 1):
             metrics.write(step=i, loss=float(loss))
         if checkpoint_fn and checkpoint_every and (i + 1) % checkpoint_every == 0:
             checkpoint_fn(i + 1, grid, opt_state)
+    if skipped:
+        log.warning("fit: %d/%d steps skipped by the NaN guard", skipped,
+                    steps - start_step)
     log.info("fit finished: %d steps, loss %.6f -> %.6f",
              steps - start_step, losses[0], losses[-1])
-    return FitResult(grid=grid, losses=losses, steps=steps)
+    return FitResult(grid=grid, losses=losses, steps=steps,
+                     skipped_steps=skipped)

@@ -46,14 +46,15 @@ parallel grid axis, so megacore cores own disjoint dG blocks — no races).
 
 Color factorization: with a constant light color, the per-slice color
 contribution is w * lcol, so the kernel accumulates the scalar field wsum
-and the caller forms color = wsum[..., None] * lcol (exactly equal);
-cw = <ct_color, lcol> folds the factorization into the adjoint.
+and the base maps carry it AS a scalar — finish_image applies the light
+color after the (2-channel) warp, and the wsum cotangent is cw directly.
 
 Address modes: inside the box, positions lie in [0,1], where mirror and
 clamp addressing agree texel-for-texel (mirror reflects only past the
-edge texel); out-of-box rows/cols are zeroed, so the kernel is exact for
-mirror and clamp (wrap differs at the half-texel border and falls back to
-the jnp path).
+edge texel) and are served by index clipping; wrap differs at the
+half-texel border and uses the period-B modulo instead (_col_taps
+wrap=True; row matrices already honor the mode via
+linear_resample_matrix). Out-of-box rows/cols are zeroed.
 
 Reference lineage: these kernels occupy the architectural slot of the
 reference's fragment shader (shaders/frag.glsl:34-81) — the per-pixel hot
@@ -88,7 +89,6 @@ def supported(plan, cfg: RenderConfig, medium: MediumConfig,
     light_ok = light_volume is None or (cfg.emission
                                         and light_volume.ndim == 3)
     common = (plan.slice_z.shape[0] == depth
-              and cfg.dtype == "float32"  # bf16 grids take the jnp sweep
               and Hb % RB == 0
               and Wb % LANES == 0)
     if medium.combine == "reference":
@@ -96,15 +96,21 @@ def supported(plan, cfg: RenderConfig, medium: MediumConfig,
         # coordinate scale + scroll (frag.glsl:63-71), mirror addressing
         # as the Vulkan sampler (VulkanCore.cpp:683-685).
         return (common
+                and cfg.dtype == "float32"
                 and grid_ndim == 4
                 and light_volume is None
                 and cfg.address_mode == "mirror")
+    # bf16 single-channel: grid + row matrices stream in bf16 (2x MXU
+    # rate, half the bandwidth — the reference stores 8-bit unorm
+    # textures, VulkanTexture.cpp:116-118, so low-precision storage is
+    # reference-native); compositing carries and gradients stay f32.
     return (medium.combine == "single"
+            and cfg.dtype in ("float32", "bfloat16")
             and common
             and light_ok
             and scroll is None
             and grid_ndim == 3
-            and cfg.address_mode in ("mirror", "clamp"))
+            and cfg.address_mode in ("mirror", "clamp", "wrap"))
 
 
 def _pad_lanes(t, B):
@@ -140,16 +146,25 @@ def _gather_cols(t, i0, i1, fb, Wb_n, n_pieces):
     return jnp.concatenate(chunks, axis=1)
 
 
-def _col_taps(e_b, delta, ug_row, B):
-    """Column sample positions for one slice: indices, fraction, in-box."""
+def _col_taps(e_b, delta, ug_row, B, wrap=False):
+    """Column sample positions for one slice: indices, fraction, in-box.
+
+    In-box positions lie in [0,1], where mirror and clamp agree
+    texel-for-texel, so clipping covers both; wrap differs at the
+    half-texel borders (i0 = -1 -> B-1, i1 = B -> 0) and uses the
+    period-B modulo instead (VK_SAMPLER_ADDRESS_MODE_REPEAT)."""
     b01 = e_b + delta * ug_row
     pb = b01 * B - 0.5
     ibf = jnp.floor(pb)
     fb = pb - ibf
     ib = ibf.astype(jnp.int32)
     b_in = ((b01 >= 0.0) & (b01 <= 1.0)).astype(jnp.float32)
-    i0 = jnp.clip(ib, 0, B - 1)
-    i1 = jnp.clip(ib + 1, 0, B - 1)
+    if wrap:
+        i0 = jnp.remainder(ib, B)
+        i1 = jnp.remainder(ib + 1, B)
+    else:
+        i0 = jnp.clip(ib, 0, B - 1)
+        i1 = jnp.clip(ib + 1, 0, B - 1)
     return i0, i1, fb, b_in
 
 
@@ -158,7 +173,7 @@ def _col_taps(e_b, delta, ug_row, B):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(slice_z_ref, params_ref, *refs, emission, ch, has_light,
-                with_ckpt):
+                with_ckpt, wrap):
     i = 0
     g_ref = refs[i]; i += 1
     wa_ref = refs[i]; i += 1
@@ -202,7 +217,8 @@ def _fwd_kernel(slice_z_ref, params_ref, *refs, emission, ch, has_light,
             # (rows outside the box are zero rows — built that way).
             t = _pad_lanes(jnp.dot(wa_ref[c], g_ref[c],
                                    preferred_element_type=jnp.float32), B)
-            i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B)
+            i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B,
+                                         wrap)
             Wb_n = ug_ref.shape[1]
             sigma = (_gather_cols(t, i0, i1, fb, Wb_n, n_pieces)
                      * b_in[None, :] * sscale)
@@ -232,7 +248,7 @@ def _fwd_kernel(slice_z_ref, params_ref, *refs, emission, ch, has_light,
 
 
 def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
-             emission, with_ckpt, interpret=False):
+             emission, with_ckpt, interpret=False, wrap=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
     Wb_n = u_grid.shape[0]
@@ -277,7 +293,8 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
     light_mul = 2 if has_light else 1
     return pl.pallas_call(
         functools.partial(_fwd_kernel, emission=emission, ch=ch,
-                          has_light=has_light, with_ckpt=with_ckpt),
+                          has_light=has_light, with_ckpt=with_ckpt,
+                          wrap=wrap),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -297,7 +314,9 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(slice_z_ref, params_ref, *refs, emission, ch, has_light):
+def _bwd_kernel(slice_z_ref, params_ref, *refs, emission, ch, has_light,
+                wrap):
+    refs, wbm_s = refs[:-1], refs[-1]
     i = 0
     g_ref = refs[i]; i += 1
     wa_ref = refs[i]; i += 1
@@ -347,7 +366,8 @@ def _bwd_kernel(slice_z_ref, params_ref, *refs, emission, ch, has_light):
         delta = z - e_k
         frontf = jnp.where(delta * sign > 0.0, 1.0, 0.0)
 
-        i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B)
+        i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B,
+                                         wrap)
 
         if emission:
             # Recompute sigma exactly as the forward kernel did.
@@ -384,22 +404,33 @@ def _bwd_kernel(slice_z_ref, params_ref, *refs, emission, ch, has_light):
             dsig = frontf * ctacc_ref[:] * seg
 
         # Column scatter as a banded matmul: Wb[j, b] with b_in folded.
-        w0v = ((1.0 - fb) * b_in)[:, None]
-        w1v = (fb * b_in)[:, None]
-        Wbm = (jnp.where(cols == i0[:, None], w0v, 0.0)
-               + jnp.where(cols == i1[:, None], w1v, 0.0))
+        # The matrix depends only on the slice, not the row block — built
+        # once per slice (rb == 0) into scratch and reused by the other
+        # n_rb-1 row blocks (the iota-compare build was ~40%% of bwd VPU
+        # work when rebuilt per block).
+        @pl.when(rb == 0)
+        def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
+            w0v = ((1.0 - fb) * b_in)[:, None]
+            w1v = (fb * b_in)[:, None]
+            wbm_s[c] = (jnp.where(cols == i0[:, None], w0v, 0.0)
+                        + jnp.where(cols == i1[:, None], w1v, 0.0))
+        Wbm = wbm_s[c]
+        # wa may stream in bf16; the dG contraction accumulates f32, so
+        # cast the operand (Mosaic rejects mixed-dtype dots).
+        waf = wa_ref[c].astype(jnp.float32)
         u = jnp.dot(dsig * sscale, Wbm,
                     preferred_element_type=jnp.float32)      # (RB, B)
         dg_ref[c] = dg_ref[c] + jax.lax.dot_general(
-            wa_ref[c], u, tA, preferred_element_type=jnp.float32)
+            waf, u, tA, preferred_element_type=jnp.float32)
         if has_light:
             ul = jnp.dot(dlT, Wbm, preferred_element_type=jnp.float32)
             dl_ref[c] = dl_ref[c] + jax.lax.dot_general(
-                wa_ref[c], ul, tA, preferred_element_type=jnp.float32)
+                waf, ul, tA, preferred_element_type=jnp.float32)
 
 
 def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
-             emission, cw, bct, tck, wck, ctacc, interpret=False):
+             emission, cw, bct, tck, wck, ctacc, interpret=False,
+             wrap=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
     Wb_n = u_grid.shape[0]
@@ -447,11 +478,12 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
         grid=(n_sc, n_rb),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((ch, Wb_n, B), jnp.float32)],
     )
     light_mul = 2 if has_light else 1
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, emission=emission, ch=ch,
-                          has_light=has_light),
+                          has_light=has_light, wrap=wrap),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -514,33 +546,37 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
         return sweep_base_pallas_ref(gperm, plan, cfg, medium, light,
                                      scroll=scroll, interpret=interpret)
     lt = light if light is not None else LightConfig()
-    lcol = jnp.asarray(lt.color, jnp.float32)
     params = _params_for(plan, cfg, medium, lt)
+    kdt = cfg.jnp_dtype  # stream dtype: grid + row matrices (bf16-able)
     wa_all = jax.lax.stop_gradient(
-        _row_matrices(plan, gperm.shape[1], cfg.address_mode))
+        _row_matrices(plan, gperm.shape[1], cfg.address_mode)).astype(kdt)
     flip = plan.sign < 0
 
+    wrap_mode = cfg.address_mode == "wrap"
+
     def run_fwd(g, l, with_ckpt):
-        g = g[::-1] if flip else g
-        l = (l[::-1] if flip else l) if l is not None else None
+        g = (g[::-1] if flip else g).astype(kdt)
+        l = ((l[::-1] if flip else l).astype(kdt)
+             if l is not None else None)
         return _run_fwd(g, l, plan.slice_z, wa_all, plan.u_grid,
                         plan.seglen, params, cfg.emission, with_ckpt,
-                        interpret)
+                        interpret, wrap_mode)
 
     def run_bwd(g, l, ct, trans, wsum, tck, wck):
-        ct_acc, ct_trans, ct_color, _ct_hit = ct
-        g = g[::-1] if flip else g
-        l = (l[::-1] if flip else l) if l is not None else None
+        ct_acc, ct_trans, ct_wsum, _ct_hit = ct
+        g = (g[::-1] if flip else g).astype(kdt)
+        l = ((l[::-1] if flip else l).astype(kdt)
+             if l is not None else None)
         if cfg.emission:
-            cw = jnp.einsum("abc,c->ab", ct_color, lcol)
+            cw = ct_wsum
             bct = ct_trans * trans + cw * wsum
             dg, dl = _run_bwd(g, l, plan.slice_z, wa_all, plan.u_grid,
                               plan.seglen, params, True, cw, bct, tck, wck,
-                              None, interpret)
+                              None, interpret, wrap_mode)
         else:
             dg, dl = _run_bwd(g, l, plan.slice_z, wa_all, plan.u_grid,
                               plan.seglen, params, False, None, None, None,
-                              None, ct_acc, interpret)
+                              None, ct_acc, interpret, wrap_mode)
         dg = dg[::-1] if flip else dg
         if dl is not None:
             dl = dl[::-1] if flip else dl
@@ -551,19 +587,21 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
         @jax.custom_vjp
         def f(g):
             acc, trans, wsum, hit = run_fwd(g, None, False)[:4]
-            return acc, trans, wsum[..., None] * lcol, hit
+            return acc, trans, wsum, hit
 
         def f_fwd(g):
             outs = run_fwd(g, None, cfg.emission)
             acc, trans, wsum, hit = outs[:4]
             tck, wck = (outs[4], outs[5]) if cfg.emission else (None, None)
-            out = (acc, trans, wsum[..., None] * lcol, hit)
+            out = (acc, trans, wsum, hit)
             return out, (g, trans, wsum, tck, wck)
 
         def f_bwd(res, ct):
             g, trans, wsum, tck, wck = res
             dg, _ = run_bwd(g, None, ct, trans, wsum, tck, wck)
-            return (dg,)
+            # cotangent dtype must match the primal's (dG accumulates
+            # f32 in-kernel either way)
+            return (dg.astype(g.dtype),)
 
         f.defvjp(f_fwd, f_bwd)
         return f(gperm)
@@ -571,13 +609,13 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     @jax.custom_vjp
     def f2(g, l):
         acc, trans, wsum, hit = run_fwd(g, l, False)[:4]
-        return acc, trans, wsum[..., None] * lcol, hit
+        return acc, trans, wsum, hit
 
     def f2_fwd(g, l):
         outs = run_fwd(g, l, cfg.emission)
         acc, trans, wsum, hit = outs[:4]
         tck, wck = (outs[4], outs[5]) if cfg.emission else (None, None)
-        out = (acc, trans, wsum[..., None] * lcol, hit)
+        out = (acc, trans, wsum, hit)
         return out, (g, l, trans, wsum, tck, wck)
 
     def f2_bwd(res, ct):
@@ -585,7 +623,7 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
         dg, dl = run_bwd(g, l, ct, trans, wsum, tck, wck)
         if dl is None:
             dl = jnp.zeros_like(l)
-        return dg, dl
+        return dg.astype(g.dtype), dl.astype(l.dtype)
 
     f2.defvjp(f2_fwd, f2_bwd)
     return f2(gperm, lperm)
@@ -948,26 +986,32 @@ def _row_matrices_ref(plan, A, medium, offs, address_mode):
 
 
 def sweep_base_pallas_ref(gperm4, plan, cfg, medium, light, scroll=None,
-                          interpret=False):
+                          interpret=False, lperm4=None):
     """Reference-combine base maps via the 4-channel fused kernels.
 
     gperm4: (S, A, B, 4) transposed volume. The layer-lerp precompute and
     row-matrix build stay in XLA (differentiable); the custom_vjp boundary
     wraps only the pallas sweep over the lerped slices, so voxel gradients
-    chain automatically through the precompute."""
+    chain automatically through the precompute.
+
+    lperm4: optionally the ALREADY-LERPED per-(slice, channel) slabs
+    (S, C, A, B) in plan.slice_z (front-to-back) order — the sharded
+    renderer computes them outside shard_map, where GSPMD handles the
+    cross-slab k-gathers, and passes each device's local block here
+    (gperm4 is then ignored and may be None)."""
     lt = light if light is not None else LightConfig()
-    lcol = jnp.asarray(lt.color, jnp.float32)
     offs = _channel_offsets(medium, scroll, plan.coord_order)
     params = jnp.concatenate([
         _params_for(plan, cfg, medium, lt),
         jnp.asarray(medium.channel_coord_scale, jnp.float32),
         jnp.stack([offs[c][2] for c in range(NCH)]),
     ])
+    A = gperm4.shape[1] if lperm4 is None else lperm4.shape[2]
     wa_all = jax.lax.stop_gradient(
-        _row_matrices_ref(plan, gperm4.shape[2], medium, offs,
-                          cfg.address_mode))
-    lperm4 = _layer_channels(gperm4, plan.slice_z, medium, offs,
-                             cfg.address_mode)
+        _row_matrices_ref(plan, A, medium, offs, cfg.address_mode))
+    if lperm4 is None:
+        lperm4 = _layer_channels(gperm4, plan.slice_z, medium, offs,
+                                 cfg.address_mode)
 
     def run_fwd(L, with_ckpt):
         return _run_fwd_ref(L, plan.slice_z, wa_all, plan.u_grid,
@@ -977,20 +1021,20 @@ def sweep_base_pallas_ref(gperm4, plan, cfg, medium, light, scroll=None,
     @jax.custom_vjp
     def f(L):
         acc, trans, wsum, hit = run_fwd(L, False)[:4]
-        return acc, trans, wsum[..., None] * lcol, hit
+        return acc, trans, wsum, hit
 
     def f_fwd(L):
         outs = run_fwd(L, cfg.emission)
         acc, trans, wsum, hit = outs[:4]
         tck, wck = (outs[4], outs[5]) if cfg.emission else (None, None)
-        return ((acc, trans, wsum[..., None] * lcol, hit),
+        return ((acc, trans, wsum, hit),
                 (L, trans, wsum, tck, wck))
 
     def f_bwd(res, ct):
         L, trans, wsum, tck, wck = res
-        ct_acc, ct_trans, ct_color, _ct_hit = ct
+        ct_acc, ct_trans, ct_wsum, _ct_hit = ct
         if cfg.emission:
-            cw = jnp.einsum("abc,c->ab", ct_color, lcol)
+            cw = ct_wsum
             bct = ct_trans * trans + cw * wsum
             dL = _run_bwd_ref(L, plan.slice_z, wa_all, plan.u_grid,
                               plan.seglen, params, True, cw, bct, tck, wck,

@@ -119,8 +119,11 @@ def _aligned_rect(tab_ref, t, Hp, Wp, BR, BC):
     return pl.multiple_of(rlo, 8), pl.multiple_of(clo, 128)
 
 
+CH_ROWS = 8  # rect rows batched per MXU contraction (BR is a multiple)
+
+
 def _fwd_kernel(tab_ref, base_ref, rows_hbm, cols_hbm, out_ref,
-                rr_s, cc_s, R_all, C_all, acc_s, sems, *, BR, BC, C,
+                rr_s, cc_s, acc_s, sems, *, BR, BC, C,
                 n_tx, Hb, Wb, Hp, Wp):
     # Each grid step covers TWO horizontally adjacent base tiles (the
     # block's 128 lanes = 2 x TILE cols — Mosaic requires lane-dim
@@ -150,24 +153,27 @@ def _fwd_kernel(tab_ref, base_ref, rows_hbm, cols_hbm, out_ref,
             cp_r.wait()
             cp_c.wait()
 
-            R_all[:] = _band3(_taps_local(rr_s[:], Hb, ty * TILE), BR, BC)
-            C_all[:] = _band3(_taps_local(cc_s[:], Wb, tx * TILE), BR, BC)
             tstack = jnp.concatenate(
                 [base_ref[ch][:, h * TILE:(h + 1) * TILE]
                  for ch in range(C)], axis=1)               # (T, C*T)
 
-            def body(s, _):
-                R = R_all[pl.ds(s, 1)][0]                   # (BC, T)
-                Cm = C_all[pl.ds(s, 1)][0]
-                tmp = jnp.dot(R, tstack,
+            # Rect rows processed in CH_ROWS batches: one large flattened
+            # MXU matmul per batch — (CH*BC, T) @ (T, C*T) — instead of a
+            # per-row fori loop of tiny matmuls (measured 132 ms/frame at
+            # 1080p: ~16k sequential (BC, T) dots are latency-bound, not
+            # throughput-bound).
+            for s0 in range(0, BR, CH_ROWS):
+                Rf = _band3(_taps_local(rr_s[s0:s0 + CH_ROWS, :], Hb,
+                                        ty * TILE), CH_ROWS, BC
+                            ).reshape(CH_ROWS * BC, TILE)
+                Cc = _band3(_taps_local(cc_s[s0:s0 + CH_ROWS, :], Wb,
+                                        tx * TILE), CH_ROWS, BC)
+                tmp = jnp.dot(Rf, tstack,
                               preferred_element_type=jnp.float32)
+                tmp = tmp.reshape(CH_ROWS, BC, C * TILE)
                 for ch in range(C):
-                    acc_s[ch, pl.ds(s, 1), :] = jnp.sum(
-                        Cm * tmp[:, ch * TILE:(ch + 1) * TILE],
-                        axis=1)[None, :]
-                return 0
-
-            jax.lax.fori_loop(0, BR, body, 0)
+                    acc_s[ch, s0:s0 + CH_ROWS, :] = jnp.sum(
+                        Cc * tmp[..., ch * TILE:(ch + 1) * TILE], axis=2)
             for ch in range(C):
                 cur = out_ref[ch, pl.ds(rlo, BR), pl.ds(clo, BC)]
                 out_ref[ch, pl.ds(rlo, BR), pl.ds(clo, BC)] = (
@@ -205,8 +211,6 @@ def warp_forward(base_chw, rows01, cols01, tab, band, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((BR, BC), jnp.float32),
             pltpu.VMEM((BR, BC), jnp.float32),
-            pltpu.VMEM((BR, BC, TILE), jnp.float32),
-            pltpu.VMEM((BR, BC, TILE), jnp.float32),
             pltpu.VMEM((Cc, BR, BC), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -230,11 +234,13 @@ def warp_forward(base_chw, rows01, cols01, tab, band, interpret=False):
 
 
 def _bwd_kernel(tab_ref, rows_hbm, cols_hbm, ct_hbm, out_ref,
-                rr_s, cc_s, ct_s, R_all, Cct_s, sems, *, BR, BC,
+                rr_s, cc_s, ct_s, sems, *, BR, BC,
                 C, n_tx, Hb, Wb, Hp, Wp):
     ty = pl.program_id(0)
     tx2 = pl.program_id(1)
-    tA = (((0,), (0,)), ((), ()))  # contract pixel dim: G^T @ C
+    # contract the flattened (rect row chunk x rect col) pixel dim:
+    # dtile = R^T @ (C * ct)
+    tP = (((0,), (0,)), ((), ()))
 
     out_ref[:] = jnp.zeros(out_ref.shape, jnp.float32)
     for h in range(2):
@@ -260,24 +266,21 @@ def _bwd_kernel(tab_ref, rows_hbm, cols_hbm, ct_hbm, out_ref,
             for cp in cps:
                 cp.wait()
 
-            R_all[:] = _band3(_taps_local(rr_s[:], Hb, ty * TILE), BR, BC)
-            cm3 = _band3(_taps_local(cc_s[:], Wb, tx * TILE), BR, BC)
+            # ONE (T, P) @ (P, C*T) contraction for the whole rect and all
+            # channels at once (P = BR*BC pixels): M=T, N=C*T, K=P — the
+            # MXU-shaped restructuring of the old per-row fori of tiny
+            # (BC, T) dots (which was latency-bound at ~16k dots/frame).
+            Rf = _band3(_taps_local(rr_s[:], Hb, ty * TILE), BR, BC
+                        ).reshape(BR * BC, TILE)
+            Cm = _band3(_taps_local(cc_s[:], Wb, tx * TILE), BR, BC)
+            Cct = jnp.concatenate(
+                [(Cm * ct_s[ch][:, :, None]).reshape(BR * BC, TILE)
+                 for ch in range(C)], axis=1)               # (P, C*T)
+            dt = jax.lax.dot_general(
+                Rf, Cct, tP, preferred_element_type=jnp.float32)
             for ch in range(C):
-                Cct_s[ch] = cm3 * ct_s[ch][:, :, None]
-
-            def body(s, z):
-                R = R_all[pl.ds(s, 1)][0]                   # (BC, T)
-                return tuple(
-                    z[ch] + jax.lax.dot_general(
-                        R, Cct_s[ch, pl.ds(s, 1)][0], tA,
-                        preferred_element_type=jnp.float32)
-                    for ch in range(C))
-
-            z0 = tuple(jnp.zeros((TILE, TILE), jnp.float32)
-                       for _ in range(C))
-            z = jax.lax.fori_loop(0, BR, body, z0)
-            for ch in range(C):
-                out_ref[ch, :, h * TILE:(h + 1) * TILE] = z[ch]
+                out_ref[ch, :, h * TILE:(h + 1) * TILE] = (
+                    dt[:, ch * TILE:(ch + 1) * TILE])
 
 
 def warp_backward(ct_chw, rows01, cols01, tab, band, Hb, Wb,
@@ -305,8 +308,6 @@ def warp_backward(ct_chw, rows01, cols01, tab, band, Hb, Wb,
             pltpu.VMEM((BR, BC), jnp.float32),
             pltpu.VMEM((BR, BC), jnp.float32),
             pltpu.VMEM((Cc, BR, BC), jnp.float32),
-            pltpu.VMEM((BR, BC, TILE), jnp.float32),
-            pltpu.VMEM((Cc, BR, BC, TILE), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )

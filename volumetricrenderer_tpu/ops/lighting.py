@@ -40,16 +40,21 @@ def light_transmittance_volume(
     light: LightConfig,
     cfg: RenderConfig,
     medium: MediumConfig,
+    scroll=None,
 ):
     """Per-voxel transmittance toward a directional light, (D, H, W) in
-    [0, 1]. Supports combine="single" media (the staged cloud configs);
-    the 4-channel reference combine would need a materialized sigma
-    volume first (not needed by any BASELINE config — documented gap)."""
-    if medium.combine != "single":
-        raise NotImplementedError(
-            "light volume sweep supports combine='single' media")
-    g = grid[..., 0] if grid.ndim == 4 else grid
-    sigma = g * medium.sample_scale
+    [0, 1]. combine="single" uses channel 0 directly; the 4-channel
+    reference combine (frag.glsl:63-71) first materializes the combined
+    sigma field at voxel centers (ops/media.materialize_sigma — exact at
+    centers, interpolate-after-combine between them)."""
+    if medium.combine == "reference":
+        from .media import materialize_sigma
+        sigma = materialize_sigma(grid, medium, scroll, cfg.address_mode)
+    elif medium.combine == "single":
+        g = grid[..., 0] if grid.ndim == 4 else grid
+        sigma = g * medium.sample_scale
+    else:
+        raise ValueError(f"unknown combine mode {medium.combine!r}")
 
     # Light direction in normalized coords; dominant axis of the sweep.
     ldir = np.asarray(light.direction, np.float64)

@@ -550,25 +550,86 @@ def _pallas_warp_bwd(ct, rows01, cols01, tab, band, Hb, Wb):
     return jnp.moveaxis(out, 0, -1)
 
 
+def _tap_weights(q01, n, off, tile):
+    """Two-banded tap weights local to a base tile: W[p, j] is the
+    bilinear weight of tap (off + j) for flattened rect pixel p (zero when
+    the tap falls outside this tile — the per-tile ownership test)."""
+    p = q01 * n - 0.5
+    i0f = jnp.floor(p)
+    f = (p - i0f).astype(jnp.float32)
+    i0 = jnp.clip(i0f.astype(jnp.int32), 0, n - 1) - off
+    i1 = jnp.clip(i0f.astype(jnp.int32) + 1, 0, n - 1) - off
+    iota = jnp.arange(tile, dtype=jnp.int32)[None, :]
+    return (jnp.where(iota == i0[:, None], (1.0 - f)[:, None], 0.0)
+            + jnp.where(iota == i1[:, None], f[:, None], 0.0))
+
+
+def _warp_windowed_fwd(base, rows01, cols01, tile_lo, band, tile):
+    """Forward warp as a scan of per-base-tile windowed matmuls — the
+    exact transpose structure of _warp_bilinear_bwd's splat: each tile
+    contributes  contrib[p] = sum_{a,b} R[p,a] C[p,b] tile[a,b]  to its
+    plan-computed pixel rect, accumulated with dynamic_update_slice.
+    Measured on v5e at 1080p/1536^2: ~5 ms/frame vs 69 ms for XLA's
+    scalar-gather lowering and 58 ms for a per-tile Pallas kernel —
+    XLA pipelines the scan of big matmuls better than either."""
+    band_r, band_c = band
+    H, W = rows01.shape
+    Hb, Wb, C = base.shape
+    nty, ntx = Hb // tile, Wb // tile
+    n_tiles = nty * ntx
+    t_idx = jnp.arange(n_tiles, dtype=jnp.int32)
+    tro = (t_idx // ntx) * tile
+    tco = (t_idx % ntx) * tile
+
+    def body(img, xs):
+        lo, ro, co = xs
+        rr = jax.lax.dynamic_slice(
+            rows01, (lo[0], lo[1]), (band_r, band_c)).reshape(-1)
+        cc = jax.lax.dynamic_slice(
+            cols01, (lo[0], lo[1]), (band_r, band_c)).reshape(-1)
+        R = _tap_weights(rr, Hb, ro, tile)               # (P, tile)
+        Cm = _tap_weights(cc, Wb, co, tile)
+        tile_vals = jax.lax.dynamic_slice(base, (ro, co, 0),
+                                          (tile, tile, C))
+        mid = jnp.einsum("pa,abc->pbc", R, tile_vals,
+                         preferred_element_type=jnp.float32)
+        contrib = jnp.einsum("pbc,pb->pc", mid, Cm,
+                             preferred_element_type=jnp.float32)
+        # Inactive tiles (no valid pixel taps them) are gated off: their
+        # rect defaults to (0, 0) and clamped out-of-footprint taps must
+        # not leak into it (matches the Pallas kernels' tab gate).
+        contrib = (contrib * lo[2].astype(jnp.float32)
+                   ).reshape(band_r, band_c, C)
+        win = jax.lax.dynamic_slice(img, (lo[0], lo[1], 0),
+                                    (band_r, band_c, C))
+        return jax.lax.dynamic_update_slice(img, win + contrib,
+                                            (lo[0], lo[1], 0)), None
+
+    img0 = jnp.zeros((H, W, C), jnp.float32)
+    img, _ = jax.lax.scan(body, img0, (tile_lo, tro, tco))
+    return img
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _warp_bilinear(base, rows01, cols01, tile_lo, band, tile, use_pallas):
     """Bilinear warp base (Hb, Wb, C) -> (H, W, C) at per-pixel coords.
 
-    use_pallas=True routes BOTH directions through the fused TPU kernels
-    (kernels/warp_pallas.py), driven by the same per-base-tile pixel
-    rects. The jnp fallback: forward is a gather (XLA's scalar gather
-    path — measured 72 ms/frame at 1080p on v5e, 7x the entire fused
-    sweep, which is why the Pallas path exists); the hand-written
-    backward replaces XLA's scatter with windowed matmuls: a `tile` x
-    `tile` base tile receives splats only from its `band` = (rows, cols)
-    pixel window (bounds precomputed in the plan; compact regardless of
-    camera roll), and its adjoint splat is Rtile^T @ diag(ct) @ Ctile.
-    Both backends are exactly the transpose of their forward weights, so
-    gradients are exact. Requires ct == 0 on pixels outside the base
-    footprint (warp_base_to_pixels' miss mask guarantees it)."""
+    Both directions run as scans of per-base-tile windowed matmuls over
+    the plan's pixel rects (for every `tile` x `tile` base tile, the
+    bounding pixel rectangle of pixels having a bilinear tap inside it;
+    bounds precomputed in the plan, compact regardless of camera roll):
+    forward accumulates  R_tile @ tile @ C_tile-mask  into the image,
+    backward splats  Rtile^T @ diag(ct) @ Ctile  into disjoint tiles.
+    Exact transposes of each other, so gradients are exact. Out-of-
+    footprint pixels get 0 — warp_base_to_pixels' miss mask assigns their
+    value, and the backward contract requires ct == 0 there.
+
+    use_pallas=True routes both directions through the Pallas kernels
+    (kernels/warp_pallas.py) instead — kept for comparison; measured
+    SLOWER than this XLA formulation at 1080p (58 vs ~5 ms fwd)."""
     if use_pallas:
         return _pallas_warp_fwd(base, rows01, cols01, tile_lo, band)
-    return sample_bilinear_2d(base, rows01, cols01, "clamp")
+    return _warp_windowed_fwd(base, rows01, cols01, tile_lo, band, tile)
 
 
 def _warp_bilinear_fwd(base, rows01, cols01, tile_lo, band, tile,
@@ -593,7 +654,6 @@ def _warp_bilinear_bwd(band, tile, use_pallas, res, ct):
     t_idx = jnp.arange(n_tiles, dtype=jnp.int32)
     tro = (t_idx // ntx) * tile   # absolute base-row offset per tile
     tco = (t_idx % ntx) * tile
-    iota = jnp.arange(tile, dtype=jnp.int32)[None, :]
 
     def body(carry, xs):
         lo, ro, co = xs
@@ -603,21 +663,8 @@ def _warp_bilinear_bwd(band, tile, use_pallas, res, ct):
             rows01, (lo[0], lo[1]), (band_r, band_c)).reshape(-1)
         cc = jax.lax.dynamic_slice(
             cols01, (lo[0], lo[1]), (band_r, band_c)).reshape(-1)
-
-        def w(q01, n, off):
-            p = q01 * n - 0.5
-            i0f = jnp.floor(p)
-            f = (p - i0f).astype(jnp.float32)
-            i0 = jnp.clip(i0f.astype(jnp.int32), 0, n - 1) - off
-            i1 = jnp.clip(i0f.astype(jnp.int32) + 1, 0, n - 1) - off
-            return i0, i1, f
-
-        r0, r1, fr = w(rr, Hb, ro)
-        c0, c1, fc = w(cc, Wb, co)
-        R = (jnp.where(iota == r0[:, None], (1.0 - fr)[:, None], 0.0)
-             + jnp.where(iota == r1[:, None], fr[:, None], 0.0))
-        Cm = (jnp.where(iota == c0[:, None], (1.0 - fc)[:, None], 0.0)
-              + jnp.where(iota == c1[:, None], fc[:, None], 0.0))
+        R = _tap_weights(rr, Hb, ro, tile)
+        Cm = _tap_weights(cc, Wb, co, tile)
         M = R[:, :, None] * ctr[:, None, :]              # (P, tile, C)
         splat = jnp.einsum("pac,pb->abc", M, Cm,
                            preferred_element_type=jnp.float32)
@@ -641,21 +688,17 @@ def warp_base_to_pixels(base_img, plan: SweepPlan, miss=None,
     The base grid is clipped to the box's slope footprint (plan_sweep), so
     pixels mapping outside it are guaranteed box misses: they get the
     per-channel `miss` value instead of clamped edge samples.
-    pallas: None = auto (TPU + plan rects valid + base fits VMEM); the
-    sharded renderer passes False (pallas_call has no GSPMD partitioning
-    rule, so the warp stays plain XLA there)."""
+    pallas: None = auto, which resolves to the XLA windowed-matmul path
+    on every backend — measured FASTER than the Pallas warp kernels at
+    1080p (fwd ~5 vs 58 ms; bwd ~4 vs 64 ms on v5e); True forces the
+    Pallas kernels (kept for comparison)."""
     if plan.identity_warp:
         return base_img
     squeeze = base_img.ndim == 2
     if squeeze:
         base_img = base_img[..., None]
     if pallas is None:
-        from ..kernels.warp_pallas import supported as wp_supported
-        H, W = plan.warp_rows01.shape
-        pallas = (jax.default_backend() == "tpu"
-                  and wp_supported(plan.warp_band,
-                                   (H, W, base_img.shape[-1]),
-                                   plan.base_shape))
+        pallas = False
     out = _warp_bilinear(base_img, plan.warp_rows01, plan.warp_cols01,
                          plan.warp_tile_lo, plan.warp_band, plan.warp_blk,
                          bool(pallas))
@@ -746,6 +789,31 @@ def _sigma_general(gperm, z_s, a01_base, b01_base, plan, medium, scroll,
     raise ValueError(f"unknown combine mode {medium.combine!r}")
 
 
+def _sigma_from_channel_slabs(chan_s, a01_base, b01_base, plan, medium,
+                              scroll, address_mode, dtype):
+    """Reference-combine extinction for one slice from PRE-LERPED channel
+    slabs chan_s (C, A, B) — the sweep-axis third of each channel's
+    trilinear sample already applied (kernels.sweep_pallas._layer_channels
+    semantics). Only the in-plane separable resample at per-channel
+    scaled/scrolled coords remains, which is slab-local — this is what
+    makes the reference combine shardable (the cross-slab k-gather moved
+    into the XLA precompute, where GSPMD handles it)."""
+    c_k, c_a, c_b = plan.coord_order
+    samples = []
+    for c in range(4):
+        sc = medium.channel_coord_scale[c]
+        if scroll is not None:
+            off = scroll[c] * medium.channel_scroll_weight[c]
+            off_a, off_b = off[c_a], off[c_b]
+        else:
+            off_a = off_b = 0.0
+        samples.append(_resample_slice(
+            chan_s[c], a01_base * sc + off_a, b01_base * sc + off_b,
+            address_mode, dtype))
+    s1, s2, s3, s4 = samples
+    return (s1 * s2) * (s3 + s4) * medium.sample_scale
+
+
 def _sweep_base(
     gperm,
     lperm,
@@ -761,9 +829,16 @@ def _sweep_base(
     chunk: Optional[int] = None,
     depth_total=None,
     layer_offset=None,
+    chan_slabs=None,
 ):
-    """Front-to-back composited base maps (acc, trans, color, hit) over an
+    """Front-to-back composited base maps (acc, trans, wsum, hit) over an
     explicit slice subset and base-grid subset.
+
+    `wsum` is the scalar emission weight sum (per-slice trans*alpha*shade
+    accumulated); the light COLOR is constant per frame, so color =
+    wsum[..., None] * light.color exactly — keeping the maps scalar
+    halves the warp and carry traffic vs carrying RGB
+    (finish_image applies the color).
 
     This is the sweep's inner engine: sweep_render passes the full plan
     arrays; the sharded renderer (parallel/sweep_sharded.py) passes each
@@ -780,7 +855,6 @@ def _sweep_base(
 
     emission = cfg.emission
     lt = light if light is not None else LightConfig()
-    lcol = jnp.asarray(lt.color, jnp.float32)
     S = slice_z.shape[0]
 
     # Chunked two-level scan: outer scan stores only per-chunk carries;
@@ -793,25 +867,39 @@ def _sweep_base(
     if pad:
         sentinel = jnp.full((pad,), plan.eye01[0] - plan.sign, jnp.float32)
         slice_z = jnp.concatenate([slice_z, sentinel])
+        if chan_slabs is not None:
+            chan_slabs = jnp.concatenate(
+                [chan_slabs, jnp.zeros((pad,) + chan_slabs.shape[1:],
+                                       chan_slabs.dtype)])
     slice_z = slice_z.reshape(n_chunks, chunk)
+    if chan_slabs is not None:
+        chan_slabs = chan_slabs.reshape((n_chunks, chunk)
+                                        + chan_slabs.shape[1:])
 
-    def one_slice(carry, z_s):
-        acc, trans, color, hit = carry
+    def one_slice(carry, xs):
+        z_s, chan_s = xs
+        acc, trans, wsum, hit = carry
         delta = z_s - e_k
         a01 = e_a + delta * v_grid   # (Hb,)
         b01 = e_b + delta * u_grid   # (Wb,)
         front = (delta * plan.sign) > 0.0
         mask = (_in01(a01)[:, None] & _in01(b01)[None, :] & front)
         maskf = mask.astype(jnp.float32)
-        sigma = _sigma_general(gperm, z_s, a01, b01, plan, medium, scroll,
-                               cfg.address_mode, dtype, depth_total,
-                               layer_offset)
+        if chan_s is not None:
+            sigma = _sigma_from_channel_slabs(chan_s, a01, b01, plan,
+                                              medium, scroll,
+                                              cfg.address_mode, dtype)
+        else:
+            sigma = _sigma_general(gperm, z_s, a01, b01, plan, medium,
+                                   scroll, cfg.address_mode, dtype,
+                                   depth_total, layer_offset)
         sigma = sigma * maskf
         if emission:
             # Early-termination parity with the oracle (a masked no-op on
             # already-opaque pixels; matches integrate.py's `active` gate).
-            # (The sharded path disables this gate — it reads the *global*
-            # transmittance, which a slab-local sweep does not have.)
+            # Under slab sharding `trans` is slab-LOCAL, and the gate's
+            # eps-truncation error bound still holds — see the contract
+            # note in parallel/sweep_sharded.py.
             live = (trans > cfg.early_stop_transmittance).astype(jnp.float32)
             alpha = live * (
                 1.0 - jnp.exp(-medium.density * sigma * seglen))
@@ -823,27 +911,27 @@ def _sweep_base(
                     lT, 0.0, 1.0)
             else:
                 shade = 1.0
-            w = trans * alpha * shade
-            color = color + w[..., None] * lcol
+            wsum = wsum + trans * alpha * shade
             trans = trans * (1.0 - alpha)
         else:
             acc = acc + sigma * seglen
             hit = jnp.maximum(hit, maskf)
-        return (acc, trans, color, hit), None
+        return (acc, trans, wsum, hit), None
 
     @jax.checkpoint
-    def one_chunk(carry, zs):
+    def one_chunk(carry, xs):
         # Unrolled inner loop: XLA sees straight-line code per chunk and
         # keeps the compositing carry out of HBM between slices (the carry
         # round-trip, not the matmuls, would otherwise dominate bandwidth).
-        return jax.lax.scan(one_slice, carry, zs, unroll=True)
+        return jax.lax.scan(one_slice, carry, xs, unroll=True)
 
     init = (jnp.zeros((Hb, Wb), jnp.float32),
             jnp.ones((Hb, Wb), jnp.float32),
-            jnp.zeros((Hb, Wb, 3), jnp.float32),
+            jnp.zeros((Hb, Wb), jnp.float32),
             jnp.zeros((Hb, Wb), jnp.float32))
-    (acc, trans, color, hit), _ = jax.lax.scan(one_chunk, init, slice_z)
-    return acc, trans, color, hit
+    (acc, trans, wsum, hit), _ = jax.lax.scan(one_chunk, init,
+                                              (slice_z, chan_slabs))
+    return acc, trans, wsum, hit
 
 
 def composite_base_maps(near, far):
@@ -852,27 +940,32 @@ def composite_base_maps(near, far):
     C = C_near + T_near * C_far, T = T_near * T_far (and acc/hit are
     sum/max). This is how rays crossing slab boundaries are handled
     without any per-ray carry exchange (SURVEY.md section 5.7)."""
-    acc1, t1, c1, h1 = near
-    acc2, t2, c2, h2 = far
+    acc1, t1, w1, h1 = near
+    acc2, t2, w2, h2 = far
     return (acc1 + acc2,
             t1 * t2,
-            c1 + t1[..., None] * c2,
+            w1 + t1 * w2,
             jnp.maximum(h1, h2))
 
 
 def finish_image(base_maps, plan: SweepPlan, cfg: RenderConfig,
-                 medium: MediumConfig, pallas_warp: Optional[bool] = None):
+                 medium: MediumConfig, pallas_warp: Optional[bool] = None,
+                 light: Optional[LightConfig] = None):
     """Warp the *linear* base quantities to screen pixels, then apply the
     per-pixel nonlinearities (the bilinear warp commutes with every linear
-    post-op; exp/where do not)."""
-    acc, trans, color, hit = base_maps
+    post-op; exp/where do not). Only TWO scalar maps are warped in the
+    emission path — (wsum, trans) — and color = wsum * light.color is
+    formed per pixel afterwards (exact: the light color is a constant)."""
+    acc, trans, wsum, hit = base_maps
     background = jnp.asarray(cfg.background, jnp.float32)
     if cfg.emission:
-        base = jnp.concatenate([color, trans[..., None]], axis=-1)
-        out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0, 0.0, 1.0),
+        lt = light if light is not None else LightConfig()
+        lcol = jnp.asarray(lt.color, jnp.float32)
+        base = jnp.stack([wsum, trans], axis=-1)
+        out = warp_base_to_pixels(base, plan, miss=(0.0, 1.0),
                                   pallas=pallas_warp)
-        rgb = out[..., :3] + out[..., 3:4] * background
-        alpha = 1.0 - out[..., 3]
+        rgb = out[..., 0:1] * lcol + out[..., 1:2] * background
+        alpha = 1.0 - out[..., 1]
     else:
         base = jnp.stack([acc, hit], axis=-1)
         out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0),
@@ -927,4 +1020,4 @@ def sweep_render(
         base_maps = _sweep_base(gperm, lperm, plan.slice_z, plan.v_grid,
                                 plan.u_grid, plan.seglen, plan, cfg, medium,
                                 light, scroll, chunk)
-    return finish_image(base_maps, plan, cfg, medium)
+    return finish_image(base_maps, plan, cfg, medium, light=light)

@@ -44,8 +44,11 @@ def initialize_distributed(
 
     Arguments default to the standard env vars (JAX_COORDINATOR_ADDRESS,
     JAX_NUM_PROCESSES, JAX_PROCESS_ID) so launchers can configure purely
-    through the environment; on a TPU pod slice all three may be None and
-    jax.distributed autodetects from the metadata server.
+    through the environment. On a TPU pod slice all three may be None —
+    set VOLT_DISTRIBUTED=1 (or pass no args but export it) to opt in, and
+    jax.distributed.initialize() autodetects from the metadata server.
+    Without the opt-in, an unconfigured environment is treated as a
+    single-process run (the common dev case) and no initialize happens.
 
     The coordinator handshake is retried `retries` times with
     `retry_delay_s` backoff — elastic-recovery behavior for processes that
@@ -64,9 +67,13 @@ def initialize_distributed(
         env = os.environ.get("JAX_PROCESS_ID")
         process_id = int(env) if env else None
 
-    if coordinator_address is None and num_processes in (None, 1):
+    autodetect = (coordinator_address is None and num_processes is None
+                  and os.environ.get("VOLT_DISTRIBUTED") == "1")
+    if (coordinator_address is None and num_processes in (None, 1)
+            and not autodetect):
         log.info("distributed: single-process run (no coordinator "
-                 "configured); skipping jax.distributed.initialize")
+                 "configured and VOLT_DISTRIBUTED unset); skipping "
+                 "jax.distributed.initialize")
         return False
     if _initialized:
         return True

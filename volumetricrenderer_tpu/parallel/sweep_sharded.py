@@ -56,6 +56,8 @@ def sweep_render_sharded(
     light: Optional[LightConfig] = None,
     scroll=None,
     chunk=None,
+    use_pallas: Optional[bool] = None,
+    pallas_interpret: bool = False,
 ):
     """Sharded sweep_render: grid slab-sharded, base rows + screen rows
     data-sharded. Returns the full (H, W, 4) image (pixel rows sharded
@@ -64,7 +66,21 @@ def sweep_render_sharded(
     Requirements (static): plan.base_shape[0] % data == 0 and
     len(plan.slice_z) % slab == 0 (base dims are multiples of 64 and
     slice counts are the grid depth, so power-of-two meshes divide them).
+
+    combine="reference" (frag.glsl:63-71): the per-channel scaled/scrolled
+    k-coordinates cross slab boundaries, so the sweep-axis layer-lerp is
+    hoisted OUT of shard_map into plain XLA (_layer_channels) where GSPMD
+    inserts the cross-slab gathers; each device then sweeps its local
+    pre-lerped (S_loc, 4, A, B) block — in-plane work is slab-local.
+
+    use_pallas: None = auto — per-device shapes inside shard_map are
+    static, so the fused sweep kernels (kernels/sweep_pallas.py) run under
+    the mesh whenever the LOCAL plan passes their static gate; True
+    forces (raises if unsupported), False keeps the jnp sweep.
+    pallas_interpret: run the kernels in interpreter mode (CPU tests).
     """
+    import dataclasses
+
     n_slab = mesh.shape[SLAB_AXIS]
     squeeze_c = grid.ndim == 3
     gperm = jnp.transpose(grid, plan.perm + ((3,) if not squeeze_c else ()))
@@ -97,15 +113,55 @@ def sweep_render_sharded(
     # device order (sign > 0) or reversed (sign < 0).
     slice_z_k = plan.slice_z if plan.sign > 0 else plan.slice_z[::-1]
 
-    def local_sweep(gp, slice_z, v_grid, seglen):
+    combine_ref = medium.combine == "reference"
+    lerped_k = None
+    if combine_ref:
+        if gperm.ndim != 4 or gperm.shape[-1] < 4:
+            raise ValueError("reference combine needs a (D, H, W, 4) grid")
+        from ..kernels.sweep_pallas import _channel_offsets, _layer_channels
+        offs = _channel_offsets(medium, scroll, plan.coord_order)
+        lerped_k = _layer_channels(gperm, slice_z_k, medium, offs,
+                                   cfg.address_mode)  # (S, 4, A, B) k order
+        lerped_k = jax.lax.with_sharding_constraint(
+            lerped_k, NamedSharding(mesh, P(SLAB_AXIS)))
+
+    def local_sweep(gp, chan, slice_z, v_grid, seglen):
+        from ..kernels import sweep_pallas as sp
         s_loc = depth_total // n_slab
         slab_i = jax.lax.axis_index(SLAB_AXIS)
         layer_offset = slab_i * s_loc
         slice_local = slice_z if plan.sign > 0 else slice_z[::-1]
-        base = _sweep_base(gp, None, slice_local, v_grid, plan.u_grid,
-                           seglen, plan, cfg_local, medium, light, scroll,
-                           chunk, depth_total=depth_total,
-                           layer_offset=layer_offset)
+        chan_local = None
+        if chan is not None:
+            chan_local = chan if plan.sign > 0 else chan[::-1]
+        # Local plan: same static geometry, this device's slices/rows.
+        lp = dataclasses.replace(plan, slice_z=slice_local, v_grid=v_grid,
+                                 seglen=seglen)
+        ndim = 4 if combine_ref else gp.ndim
+        ok = sp.supported(lp, cfg_local, medium, None, scroll, ndim, s_loc)
+        up = use_pallas
+        if up is None:
+            up = ok and jax.default_backend() == "tpu"
+        elif up and not ok:
+            raise NotImplementedError(
+                "pallas sweep kernel does not support this sharded "
+                "configuration (local base rows/cols must be multiples "
+                "of 128, slices at voxel centers)")
+        if up:
+            if combine_ref:
+                base = sp.sweep_base_pallas_ref(
+                    None, lp, cfg_local, medium, light, scroll=scroll,
+                    interpret=pallas_interpret, lperm4=chan_local)
+            else:
+                base = sp.sweep_base_pallas(gp, lp, cfg_local, medium,
+                                            light,
+                                            interpret=pallas_interpret)
+        else:
+            base = _sweep_base(gp, None, slice_local, v_grid, plan.u_grid,
+                               seglen, plan, cfg_local, medium, light,
+                               scroll, chunk, depth_total=depth_total,
+                               layer_offset=layer_offset,
+                               chan_slabs=chan_local)
         # Slab partials -> exact composite via the associative monoid.
         parts = jax.lax.all_gather(base, SLAB_AXIS)  # tuple of (n_slab,...)
         order = (range(n_slab) if plan.sign > 0
@@ -117,16 +173,19 @@ def sweep_render_sharded(
                                                         parts))
         return out
 
+    chan_spec = P(SLAB_AXIS, None, None, None) if combine_ref else None
     base_maps = _shard_map(
         local_sweep, mesh,
-        in_specs=(grid_spec, P(SLAB_AXIS), P(DATA_AXIS), P(DATA_AXIS, None)),
+        in_specs=(grid_spec, chan_spec, P(SLAB_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS, None)),
         out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
-                   P(DATA_AXIS, None, None), P(DATA_AXIS, None)),
-    )(gperm, slice_z_k, plan.v_grid, plan.seglen)
+                   P(DATA_AXIS, None), P(DATA_AXIS, None)),
+    )(gperm, lerped_k, slice_z_k, plan.v_grid, plan.seglen)
 
-    # pallas_warp=False: pallas_call carries no GSPMD partitioning rule,
-    # so the warp must stay plain XLA under the mesh.
-    img = finish_image(base_maps, plan, cfg, medium, pallas_warp=False)
+    # pallas_warp=False: the warp runs on the GSPMD-sharded maps outside
+    # shard_map, where pallas_call carries no partitioning rule.
+    img = finish_image(base_maps, plan, cfg, medium, pallas_warp=False,
+                       light=light)
     return jax.lax.with_sharding_constraint(
         img, NamedSharding(mesh, P(DATA_AXIS)))
 

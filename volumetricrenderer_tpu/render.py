@@ -76,7 +76,8 @@ def render_image(
         # Config-4 shadows: one light-propagation sweep per frame
         # (O(volume) matmuls) instead of a nested march per sample.
         from .ops.lighting import light_transmittance_volume
-        light_volume = light_transmittance_volume(grid, light, cfg, medium)
+        light_volume = light_transmittance_volume(grid, light, cfg, medium,
+                                                  scroll=scroll)
     if cfg.quadrature == "sliced":
         if plan is None:
             try:
@@ -138,13 +139,31 @@ def render_scene(
     "reference" marches rays against the exact per-volume fields
     (ops/integrate.scene_sigma — arbitrary affines, no bake error)."""
     volumes = [v if isinstance(v, Volume) else Volume(v) for v in volumes]
-    if medium.combine != "single":
-        raise NotImplementedError(
-            "multi-volume scenes support combine='single' media")
+    if medium.combine not in ("single", "reference"):
+        raise ValueError(f"unknown combine mode {medium.combine!r}")
     if backend in ("auto", "sweep") and cfg.quadrature == "sliced":
+        bake_medium = medium
+        if medium.combine == "reference":
+            # 4-channel reference combine (frag.glsl:63-71) per volume:
+            # materialize each volume's combined sigma at voxel centers
+            # (ops/media.py), then bake those scalar fields as usual —
+            # overlapping sigmas add (independent scatterers). The scroll
+            # is folded into the materialization, so the per-frame path
+            # below sees a plain single-channel medium.
+            import dataclasses as _dc
+
+            from .ops.media import materialize_sigma
+            volumes = [
+                Volume(materialize_sigma(v.grid, medium, scroll,
+                                         cfg.address_mode),
+                       v.world_to_local)
+                for v in volumes]
+            bake_medium = _dc.replace(medium, combine="single",
+                                      sample_scale=1.0)
+            scroll = None
         size = bake_size or max(max(v.grid.shape[:3]) for v in volumes)
         grid = bake_scene(volumes, size, cfg)
-        return render_image(grid, camera, cfg, medium, light,
+        return render_image(grid, camera, cfg, bake_medium, light,
                             scroll=scroll, backend=backend, plan=plan)
     origins, directions = camera_rays(camera)
     sigma = lambda pos: scene_sigma(volumes, pos, cfg, medium, scroll)
