@@ -34,7 +34,15 @@ the forward kernel). Per slice:
     dsigma_s    = live_s * density * seg * (cw T_{s-1} shade_s E_s - A~_s)
 
 (E = exp(-density sigma seg); the live early-exit gate zeroes the slice;
-the E/(1-alpha) ratio cancels exactly, so there is NO division). The
+the E/(1-alpha) ratio cancels exactly, so there is NO division).
+
+Early-exit note (measured, BENCH r3): the `live` gate is SEMANTIC parity
+with the oracle's per-ray early termination (a masked no-op on saturated
+pixels), not a throughput feature on TPU — a kernel block covers a
+128 x Wb base strip whose out-of-box miss pixels keep T = 1 forever, so
+block-level work skipping never fires; at density 200 the gate measures
+a 0 +- 1% frame-time delta. The reference has no early exit at all
+(frag.glsl:57-75), so parity-masking already exceeds it. The
 voxel-gradient scatter — SURVEY.md §7's "contention-free accumulation"
 hard part — is two transposed matmuls on the MXU:
 
