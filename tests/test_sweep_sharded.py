@@ -102,3 +102,36 @@ def test_sharded_early_exit_gate(setup):
                            early_stop_transmittance=-1.0)
     ungated = sweep_render(grid, plan, cfg_off, medium)
     assert np.abs(np.asarray(ungated) - np.asarray(want)).max() > 0
+
+
+def test_sharded_band_warp_parity(setup):
+    """The per-device band warp (warp_band inside shard_map) vs the
+    single-device full-image warp — the image must be tall enough that
+    H/n_data >= the plan's warp band, or the test is vacuous (it asserts
+    the band path is actually taken)."""
+    grid, cfg, medium, _, _ = setup
+    cam = make_camera(CameraConfig(eye=(2.6, 2.1, 2.9), width=128,
+                                   height=96))
+    plan = plan_sweep(cam, grid.shape, cfg)
+    mesh = make_mesh(data=2, slab=4)
+    n_data = 2
+    assert 96 % n_data == 0 and 96 // n_data >= plan.warp_band[0], \
+        "band path not active; enlarge the test image"
+    want = sweep_render(grid, plan, cfg, medium)
+    got = sweep_render_sharded(grid, plan, mesh, cfg, medium)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # gradients through the band warp's custom_vjp + gather transpose
+    import jax.numpy as jnp
+
+    def loss_sh(g):
+        return jnp.sum(sweep_render_sharded(g, plan, mesh, cfg,
+                                            medium)[..., :3] ** 2)
+
+    def loss_un(g):
+        return jnp.sum(sweep_render(g, plan, cfg, medium)[..., :3] ** 2)
+
+    g1 = np.asarray(jax.jit(jax.grad(loss_sh))(grid))
+    g2 = np.asarray(jax.jit(jax.grad(loss_un))(grid))
+    scale = np.abs(g2).max() + 1e-12
+    np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-3 * scale)

@@ -639,15 +639,13 @@ def _warp_bilinear_fwd(base, rows01, cols01, tile_lo, band, tile,
     return out, (base.shape, rows01, cols01, tile_lo)
 
 
-def _warp_bilinear_bwd(band, tile, use_pallas, res, ct):
-    (Hb, Wb, C), rows01, cols01, tile_lo = res
-    if use_pallas:
-        dbase = _pallas_warp_bwd(ct, rows01, cols01, tile_lo, band,
-                                 Hb, Wb)
-        return (dbase, jnp.zeros_like(rows01), jnp.zeros_like(cols01),
-                np.zeros(tile_lo.shape, dtype=jax.dtypes.float0))
+def _splat_windowed(ct, rows01, cols01, tile_lo, band, tile, Hb, Wb):
+    """Adjoint splat: pixel cotangents -> (Hb, Wb, C) base cotangents via
+    a scan of per-tile windowed matmuls (exact transpose of
+    _warp_windowed_fwd; base tiles are disjoint outputs, no races).
+    Requires ct == 0 on out-of-footprint pixels."""
     band_r, band_c = band     # pixel-rect size gathered per base tile
-    H, W = rows01.shape
+    C = ct.shape[-1]
     nty, ntx = Hb // tile, Wb // tile
     n_tiles = nty * ntx
 
@@ -668,13 +666,49 @@ def _warp_bilinear_bwd(band, tile, use_pallas, res, ct):
         M = R[:, :, None] * ctr[:, None, :]              # (P, tile, C)
         splat = jnp.einsum("pac,pb->abc", M, Cm,
                            preferred_element_type=jnp.float32)
-        return carry, splat
+        return carry, splat * lo[2].astype(jnp.float32)
 
     _, tiles = jax.lax.scan(body, (), (tile_lo, tro, tco))
     out = tiles.reshape(nty, ntx, tile, tile, C)
-    out = jnp.moveaxis(out, 1, 2).reshape(Hb, Wb, C)
+    return jnp.moveaxis(out, 1, 2).reshape(Hb, Wb, C)
+
+
+def _warp_bilinear_bwd(band, tile, use_pallas, res, ct):
+    (Hb, Wb, C), rows01, cols01, tile_lo = res
+    if use_pallas:
+        dbase = _pallas_warp_bwd(ct, rows01, cols01, tile_lo, band,
+                                 Hb, Wb)
+        return (dbase, jnp.zeros_like(rows01), jnp.zeros_like(cols01),
+                np.zeros(tile_lo.shape, dtype=jax.dtypes.float0))
+    out = _splat_windowed(ct, rows01, cols01, tile_lo, band, tile, Hb, Wb)
     return (out, jnp.zeros_like(rows01), jnp.zeros_like(cols01),
             np.zeros(tile_lo.shape, dtype=jax.dtypes.float0))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def warp_band(base, rows01, cols01, tab, band, tile):
+    """Warp the FULL base (Hb, Wb, C) onto a pixel-row BAND given a
+    band-local tile table (rect origins relative to the band, active
+    flags pre-intersected) — the per-device piece of the sharded warp
+    (parallel/sweep_sharded._finish_image_sharded). rows01/cols01 are the
+    band's pixel coords; the bwd splat returns FULL base cotangents (the
+    caller's all_gather transpose reduces them across devices)."""
+    return _warp_windowed_fwd(base, rows01, cols01, tab, band, tile)
+
+
+def _warp_band_fwd(base, rows01, cols01, tab, band, tile):
+    out = warp_band(base, rows01, cols01, tab, band, tile)
+    return out, (base.shape, rows01, cols01, tab)
+
+
+def _warp_band_bwd(band, tile, res, ct):
+    (Hb, Wb, C), rows01, cols01, tab = res
+    dbase = _splat_windowed(ct, rows01, cols01, tab, band, tile, Hb, Wb)
+    return (dbase, jnp.zeros_like(rows01), jnp.zeros_like(cols01),
+            np.zeros(tab.shape, dtype=jax.dtypes.float0))
+
+
+warp_band.defvjp(_warp_band_fwd, _warp_band_bwd)
 
 
 _warp_bilinear.defvjp(_warp_bilinear_fwd, _warp_bilinear_bwd)
@@ -948,6 +982,34 @@ def composite_base_maps(near, far):
             jnp.maximum(h1, h2))
 
 
+def warp_inputs(base_maps, cfg: RenderConfig):
+    """The two scalar maps the warp transports, and their miss values."""
+    acc, trans, wsum, hit = base_maps
+    if cfg.emission:
+        return jnp.stack([wsum, trans], axis=-1), (0.0, 1.0)
+    return jnp.stack([acc, hit], axis=-1), (0.0, 0.0)
+
+
+def postwarp_pixels(out, cfg: RenderConfig, medium: MediumConfig,
+                    light: Optional[LightConfig] = None):
+    """Per-pixel nonlinearities after the warp: color = wsum * light
+    color (exact — the light color is constant), Beer-Lambert display
+    transform for the absorption mode."""
+    background = jnp.asarray(cfg.background, jnp.float32)
+    if cfg.emission:
+        lt = light if light is not None else LightConfig()
+        lcol = jnp.asarray(lt.color, jnp.float32)
+        rgb = out[..., 0:1] * lcol + out[..., 1:2] * background
+        alpha = 1.0 - out[..., 1]
+    else:
+        gray = 1.0 - jnp.exp(-medium.density * out[..., 0])
+        hitp = jnp.clip(out[..., 1], 0.0, 1.0)
+        rgb = (gray[..., None] * hitp[..., None]
+               + background * (1.0 - hitp[..., None]))
+        alpha = hitp
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
 def finish_image(base_maps, plan: SweepPlan, cfg: RenderConfig,
                  medium: MediumConfig, pallas_warp: Optional[bool] = None,
                  light: Optional[LightConfig] = None):
@@ -956,26 +1018,9 @@ def finish_image(base_maps, plan: SweepPlan, cfg: RenderConfig,
     post-op; exp/where do not). Only TWO scalar maps are warped in the
     emission path — (wsum, trans) — and color = wsum * light.color is
     formed per pixel afterwards (exact: the light color is a constant)."""
-    acc, trans, wsum, hit = base_maps
-    background = jnp.asarray(cfg.background, jnp.float32)
-    if cfg.emission:
-        lt = light if light is not None else LightConfig()
-        lcol = jnp.asarray(lt.color, jnp.float32)
-        base = jnp.stack([wsum, trans], axis=-1)
-        out = warp_base_to_pixels(base, plan, miss=(0.0, 1.0),
-                                  pallas=pallas_warp)
-        rgb = out[..., 0:1] * lcol + out[..., 1:2] * background
-        alpha = 1.0 - out[..., 1]
-    else:
-        base = jnp.stack([acc, hit], axis=-1)
-        out = warp_base_to_pixels(base, plan, miss=(0.0, 0.0),
-                                  pallas=pallas_warp)
-        gray = 1.0 - jnp.exp(-medium.density * out[..., 0])
-        hitp = jnp.clip(out[..., 1], 0.0, 1.0)
-        rgb = (gray[..., None] * hitp[..., None]
-               + background * (1.0 - hitp[..., None]))
-        alpha = hitp
-    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+    base, miss = warp_inputs(base_maps, cfg)
+    out = warp_base_to_pixels(base, plan, miss=miss, pallas=pallas_warp)
+    return postwarp_pixels(out, cfg, medium, light)
 
 
 def sweep_render(

@@ -35,8 +35,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import LightConfig, MediumConfig, RenderConfig
-from ..ops.sweep import (SweepPlan, _sweep_base, composite_base_maps,
-                         finish_image)
+from ..ops.sweep import (SweepPlan, _in01, _sweep_base, composite_base_maps,
+                         finish_image, postwarp_pixels, warp_band,
+                         warp_inputs)
 from .mesh import DATA_AXIS, SLAB_AXIS
 
 __all__ = ["sweep_render_sharded", "make_sweep_train_step"]
@@ -182,12 +183,55 @@ def sweep_render_sharded(
                    P(DATA_AXIS, None), P(DATA_AXIS, None)),
     )(gperm, lerped_k, slice_z_k, plan.v_grid, plan.seglen)
 
-    # pallas_warp=False: the warp runs on the GSPMD-sharded maps outside
-    # shard_map, where pallas_call carries no partitioning rule.
-    img = finish_image(base_maps, plan, cfg, medium, pallas_warp=False,
-                       light=light)
-    return jax.lax.with_sharding_constraint(
-        img, NamedSharding(mesh, P(DATA_AXIS)))
+    return _finish_image_sharded(base_maps, plan, mesh, cfg, medium, light)
+
+
+def _finish_image_sharded(base_maps, plan, mesh, cfg, medium, light):
+    """finish_image with the windowed warp run per-device: each device
+    all-gathers the (small) base maps over "data" and warps them onto its
+    own pixel-row band, scanning only its own band-clipped tile rects —
+    no cross-device traffic inside the 576-iteration tile scan (leaving
+    the scan to GSPMD would put the collective inside every iteration).
+    The gather's autodiff transpose reduce-scatters the base cotangents;
+    the band warp itself is ops/sweep.warp_band (custom_vjp, exact
+    transpose). Falls back to the GSPMD full-image path when the pixel
+    rows don't divide into bands that can hold a tile rect."""
+    H, W = plan.warp_rows01.shape
+    n_data = mesh.shape[DATA_AXIS]
+    band_r, band_c = plan.warp_band
+    if H % n_data or H // n_data < band_r:
+        img = finish_image(base_maps, plan, cfg, medium, pallas_warp=False,
+                           light=light)
+        return jax.lax.with_sharding_constraint(
+            img, NamedSharding(mesh, P(DATA_AXIS)))
+    H_loc = H // n_data
+    base, miss = warp_inputs(base_maps, cfg)
+    base = jax.lax.with_sharding_constraint(
+        base, NamedSharding(mesh, P(DATA_AXIS)))
+
+    def local(base_rows, rows01, cols01):
+        full = jax.lax.all_gather(base_rows, DATA_AXIS, axis=0, tiled=True)
+        d = jax.lax.axis_index(DATA_AXIS)
+        band_lo = d * H_loc
+        lo = plan.warp_tile_lo
+        inter = ((lo[:, 0] < band_lo + H_loc)
+                 & (lo[:, 0] + band_r > band_lo)
+                 & (lo[:, 2] > 0))
+        lo0 = jnp.clip(lo[:, 0] - band_lo, 0, H_loc - band_r)
+        tab = jnp.stack([lo0, lo[:, 1], inter.astype(jnp.int32)], axis=-1)
+        out = warp_band(full, rows01, cols01, tab, plan.warp_band,
+                        plan.warp_blk)
+        inr = (_in01(rows01) & _in01(cols01))[..., None]
+        out = jnp.where(inr, out, jnp.asarray(miss, out.dtype))
+        return postwarp_pixels(out, cfg, medium, light)
+
+    img = _shard_map(
+        local, mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS, None, None),
+    )(base, plan.warp_rows01, plan.warp_cols01)
+    return img
 
 
 def make_sweep_train_step(mesh: Mesh, plan: SweepPlan, cfg: RenderConfig,
