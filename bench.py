@@ -180,10 +180,20 @@ def main():
         make_fwdbwd(plan, cfg, medium, False, FRAMES), grid, FRAMES,
         max(ITERS - 1, 1), null_s, "jnp fwd+bwd")
 
+    # --- bf16 A/B: the fused kernels stream grid + row matrices in bf16
+    # (f32 accumulators) — the reference stores 8-bit unorm textures
+    # (VulkanTexture.cpp:116-118), so low-precision storage is
+    # reference-native. The f32 number stays the headline (its gradient
+    # parity is the validated contract).
+    import dataclasses
+    cfg_bf16 = dataclasses.replace(cfg, dtype="bfloat16")
+    per_frame_bf16 = time_k_frames(
+        make_fwdbwd(plan, cfg_bf16, medium, None, FRAMES), grid, FRAMES,
+        max(ITERS - 1, 1), null_s, "bf16 fwd+bwd")
+
     # --- Early exit probed where it matters: a dense medium saturates
     # rays, so the gate can skip real work (the reference cannot:
     # frag.glsl:57-75 has no cutoff).
-    import dataclasses
     dense_medium = dataclasses.replace(medium, density=200.0)
     cfg_nogate = dataclasses.replace(cfg, early_stop_transmittance=-1.0)
     dense_gated = time_k_frames(
@@ -232,6 +242,8 @@ def main():
         "frames_per_dispatch": FRAMES,
         "pallas_vs_jnp": round(per_frame_jnp / per_frame, 3),
         "ms_per_frame_jnp": round(per_frame_jnp * 1e3, 2),
+        "ms_per_frame_bf16": round(per_frame_bf16 * 1e3, 2),
+        "bf16_speedup": round(per_frame / per_frame_bf16, 3),
         "mfu": round(mfu, 4),
         "useful_mfu": round(useful_mfu, 5),
         "dense_tflops_per_s": round(dense / per_frame / 1e12, 2),

@@ -58,10 +58,19 @@ def main():
         return render_image(g, None, cfg, medium, light, plan=plan,
                             light_volume=lv, backend="sweep")
 
+    # Warm ONE frame per distinct executable signature (an orbit crosses
+    # several dominant-axis/sign sectors; each is its own compile) so the
+    # timed loop measures steady-state interactive rate, not compiles.
+    from volumetricrenderer_tpu.ops.sweep import plan_signature
     t0 = time.perf_counter()
-    jax.block_until_ready(frame(grid, plans[0]))
+    seen = set()
+    for p in plans:
+        sig = plan_signature(p)
+        if sig not in seen:
+            seen.add(sig)
+            jax.block_until_ready(frame(grid, p))
     compile_s = time.perf_counter() - t0
-    log(f"compile {compile_s:.0f}s")
+    log(f"compile ({len(seen)} signatures): {compile_s:.0f}s")
 
     # null dispatch floor
     nul = jax.jit(lambda x: x + 1.0)
