@@ -51,9 +51,11 @@ def main():
         return bake_scene(config3_scene(SIZE), SIZE, cfg)
 
     true_grid = jax.block_until_ready(build_target_grid())
+    from volumetricrenderer_tpu.ops.sweep import plan_sweep
+    plan = plan_sweep(cam, true_grid.shape, cfg)  # host-side, outside jit
     target = jax.block_until_ready(
-        jax.jit(lambda g: render_image(g, cam, cfg, med, light)[..., :3])(
-            true_grid))
+        jax.jit(lambda g: render_image(g, cam, cfg, med, light,
+                                       plan=plan)[..., :3])(true_grid))
     setup_s = time.perf_counter() - t0
     log(f"target built+rendered in {setup_s:.0f}s")
 

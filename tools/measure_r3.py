@@ -35,6 +35,7 @@ WIDTH = int(os.environ.get("VOLT_M_WIDTH", 1920))
 HEIGHT = int(os.environ.get("VOLT_M_HEIGHT", 1080))
 FRAMES = int(os.environ.get("VOLT_M_FRAMES", 32))
 ITERS = int(os.environ.get("VOLT_M_ITERS", 2))
+DTYPE = os.environ.get("VOLT_M_DTYPE", "float32")  # bf16 A/B: "bfloat16"
 OUT = os.environ.get("VOLT_M_OUT", "")
 
 
@@ -58,7 +59,7 @@ def time_dispatches(fn, args, iters, label):
 def main():
     results = {"volume": VOLUME, "width": WIDTH, "height": HEIGHT,
                "frames_per_dispatch": FRAMES, "iters": ITERS,
-               "device": str(jax.devices()[0])}
+               "dtype": DTYPE, "device": str(jax.devices()[0])}
     t_all = time.perf_counter()
 
     # --- null dispatch ---
@@ -78,7 +79,7 @@ def main():
     results["setup_grid_s"] = round(time.perf_counter() - t0, 1)
     log(f"grid build (jitted): {results['setup_grid_s']}s")
 
-    cfg = RenderConfig(emission=True, quadrature="sliced")
+    cfg = RenderConfig(emission=True, quadrature="sliced", dtype=DTYPE)
     medium = MediumConfig(combine="single", density=8.0)
     cam = make_camera(CameraConfig(width=WIDTH, height=HEIGHT))
     t0 = time.perf_counter()

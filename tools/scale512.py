@@ -1,0 +1,103 @@
+"""SCALE512_r3 artifact: config-5's 512^3 volume on ONE chip — fwd and
+fwd+bwd frame times at 1080p through the fused kernels. The multi-host
+slab sharding is rehearsed separately (SCALING_r3.json, dryrun_multichip);
+this demonstrates the per-chip workload at config-5 scale: a 512 MB f32
+grid (+ Adam moments in a fit) fits v5e HBM with room to spare.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/scale512.py
+Env: VOLT_S_FRAMES (8), VOLT_S_OUT (SCALE512_r3.json).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from volumetricrenderer_tpu.config import (CameraConfig, MediumConfig,
+                                           RenderConfig)
+from volumetricrenderer_tpu.models.scene import cloud_volume
+from volumetricrenderer_tpu.ops.camera import make_camera
+from volumetricrenderer_tpu.ops.sweep import plan_sweep, sweep_render
+
+FRAMES = int(os.environ.get("VOLT_S_FRAMES", 8))
+OUT = os.environ.get("VOLT_S_OUT", "SCALE512_r3.json")
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    t_all = time.perf_counter()
+    cfg = RenderConfig(emission=True, quadrature="sliced")
+    medium = MediumConfig(combine="single", density=8.0)
+    cam = make_camera(CameraConfig(width=1920, height=1080))
+
+    t0 = time.perf_counter()
+    grid = jax.block_until_ready(
+        jax.jit(cloud_volume, static_argnums=(0,))(512, 7))
+    plan = plan_sweep(cam, grid.shape, cfg)
+    jax.block_until_ready(plan.seglen)
+    log(f"setup {time.perf_counter()-t0:.0f}s; base {plan.base_shape}, "
+        f"slices {plan.slice_z.shape[0]}")
+
+    nul = jax.jit(lambda x: x + 1.0)
+    float(nul(jnp.float32(0.0)))
+    t0 = time.perf_counter()
+    for i in range(8):
+        float(nul(jnp.float32(i)))
+    null_s = (time.perf_counter() - t0) / 8
+
+    def run(grad, label):
+        def loss(g, t):
+            img = sweep_render(g * (1.0 + 0.0 * t), plan, cfg, medium)
+            return jnp.sum(img[..., :3] ** 2)
+
+        @jax.jit
+        def k(g, t0):
+            def body(c, i):
+                if grad:
+                    l, gr = jax.value_and_grad(loss)(g, t0 + i)
+                    return c + l + gr.ravel()[0], None
+                return c + loss(g, t0 + i), None
+            out, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                  jnp.arange(FRAMES, dtype=jnp.float32))
+            return out
+
+        t0 = time.perf_counter()
+        float(k(grid, jnp.float32(0.0)))
+        comp = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(2):
+            float(k(grid, jnp.float32(i + 1.0)))
+        ms = (((time.perf_counter() - t0) / 2) - null_s) / FRAMES * 1e3
+        log(f"{label}: {ms:.1f} ms/frame (compile {comp:.0f}s)")
+        return ms, comp
+
+    fwd_ms, fwd_comp = run(False, "512^3 fwd")
+    fb_ms, fb_comp = run(True, "512^3 fwd+bwd")
+    out = {
+        "config": "config5 volume, single chip",
+        "volume": 512, "width": 1920, "height": 1080,
+        "grid_bytes_mb": 512,
+        "base_shape": [int(x) for x in plan.base_shape],
+        "ms_per_frame_fwd": round(fwd_ms, 1),
+        "ms_per_frame_fwd_bwd": round(fb_ms, 1),
+        "mrays_per_s_fwd_bwd": round(1920 * 1080 / fb_ms / 1e3, 1),
+        "dispatch_overhead_ms": round(null_s * 1e3, 1),
+        "frames_per_dispatch": FRAMES,
+        "compile_s": {"fwd": round(fwd_comp, 1), "fwd_bwd": round(fb_comp, 1)},
+        "total_s": round(time.perf_counter() - t_all, 1),
+        "device": str(jax.devices()[0]),
+    }
+    s = json.dumps(out, indent=1)
+    print(s, flush=True)
+    open(OUT, "w").write(s + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,15 +34,7 @@ the forward kernel). Per slice:
     dsigma_s    = live_s * density * seg * (cw T_{s-1} shade_s E_s - A~_s)
 
 (E = exp(-density sigma seg); the live early-exit gate zeroes the slice;
-the E/(1-alpha) ratio cancels exactly, so there is NO division).
-
-Early-exit note (measured, BENCH r3): the `live` gate is SEMANTIC parity
-with the oracle's per-ray early termination (a masked no-op on saturated
-pixels), not a throughput feature on TPU — a kernel block covers a
-128 x Wb base strip whose out-of-box miss pixels keep T = 1 forever, so
-block-level work skipping never fires; at density 200 the gate measures
-a 0 +- 1% frame-time delta. The reference has no early exit at all
-(frag.glsl:57-75), so parity-masking already exceeds it. The
+the E/(1-alpha) ratio cancels exactly, so there is NO division). The
 voxel-gradient scatter — SURVEY.md §7's "contention-free accumulation"
 hard part — is two transposed matmuls on the MXU:
 
@@ -51,6 +43,14 @@ hard part — is two transposed matmuls on the MXU:
 with Wb_s the 2-banded column matrix rebuilt in-kernel from iota compares.
 dG blocks are accumulated in VMEM across row blocks (slice-chunk = outer
 parallel grid axis, so megacore cores own disjoint dG blocks — no races).
+
+Early-exit note (measured, BENCH r3): the `live` gate is SEMANTIC parity
+with the oracle's per-ray early termination (a masked no-op on saturated
+pixels), not a throughput feature on TPU — a kernel block covers a
+128 x Wb base strip whose out-of-box miss pixels keep T = 1 forever, so
+block-level work skipping never fires; at density 200 the gate measures
+a 0 +- 1% frame-time delta. The reference has no early exit at all
+(frag.glsl:57-75), so parity-masking already exceeds it.
 
 Color factorization: with a constant light color, the per-slice color
 contribution is w * lcol, so the kernel accumulates the scalar field wsum
@@ -358,6 +358,7 @@ def _bwd_kernel(slice_z_ref, params_ref, *refs, emission, ch, has_light,
     B = g_ref.shape[2]
     Wb_n = ug_ref.shape[1]
     n_pieces = max(1, B // LANES)
+    low = g_ref.dtype == jnp.bfloat16  # bf16 stream mode
     seg = seg_ref[:]
 
     if emission:
@@ -421,19 +422,34 @@ def _bwd_kernel(slice_z_ref, params_ref, *refs, emission, ch, has_light,
             w0v = ((1.0 - fb) * b_in)[:, None]
             w1v = (fb * b_in)[:, None]
             wbm_s[c] = (jnp.where(cols == i0[:, None], w0v, 0.0)
-                        + jnp.where(cols == i1[:, None], w1v, 0.0))
+                        + jnp.where(cols == i1[:, None], w1v, 0.0)
+                        ).astype(wbm_s.dtype)
         Wbm = wbm_s[c]
-        # wa may stream in bf16; the dG contraction accumulates f32, so
-        # cast the operand (Mosaic rejects mixed-dtype dots).
-        waf = wa_ref[c].astype(jnp.float32)
-        u = jnp.dot(dsig * sscale, Wbm,
-                    preferred_element_type=jnp.float32)      # (RB, B)
-        dg_ref[c] = dg_ref[c] + jax.lax.dot_general(
-            waf, u, tA, preferred_element_type=jnp.float32)
-        if has_light:
-            ul = jnp.dot(dlT, Wbm, preferred_element_type=jnp.float32)
-            dl_ref[c] = dl_ref[c] + jax.lax.dot_general(
-                waf, ul, tA, preferred_element_type=jnp.float32)
+        if low:
+            # bf16 mode: the column-scatter matmul — the dominant bwd
+            # dense term — runs on the bf16 MXU path too (dG still
+            # accumulates f32; the mode's contract is bf16-level
+            # gradient precision).
+            u = jnp.dot((dsig * sscale).astype(jnp.bfloat16), Wbm,
+                        preferred_element_type=jnp.float32)
+            dg_ref[c] = dg_ref[c] + jax.lax.dot_general(
+                wa_ref[c], u.astype(jnp.bfloat16), tA,
+                preferred_element_type=jnp.float32)
+            if has_light:
+                ul = jnp.dot(dlT.astype(jnp.bfloat16), Wbm,
+                             preferred_element_type=jnp.float32)
+                dl_ref[c] = dl_ref[c] + jax.lax.dot_general(
+                    wa_ref[c], ul.astype(jnp.bfloat16), tA,
+                    preferred_element_type=jnp.float32)
+        else:
+            u = jnp.dot(dsig * sscale, Wbm,
+                        preferred_element_type=jnp.float32)  # (RB, B)
+            dg_ref[c] = dg_ref[c] + jax.lax.dot_general(
+                wa_ref[c], u, tA, preferred_element_type=jnp.float32)
+            if has_light:
+                ul = jnp.dot(dlT, Wbm, preferred_element_type=jnp.float32)
+                dl_ref[c] = dl_ref[c] + jax.lax.dot_general(
+                    wa_ref[c], ul, tA, preferred_element_type=jnp.float32)
 
 
 def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
@@ -486,7 +502,7 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
         grid=(n_sc, n_rb),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((ch, Wb_n, B), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ch, Wb_n, B), gperm.dtype)],
     )
     light_mul = 2 if has_light else 1
     out = pl.pallas_call(

@@ -606,7 +606,9 @@ def _warp_windowed_fwd(base, rows01, cols01, tile_lo, band, tile):
                                             (lo[0], lo[1], 0)), None
 
     img0 = jnp.zeros((H, W, C), jnp.float32)
-    img, _ = jax.lax.scan(body, img0, (tile_lo, tro, tco))
+    # unroll: the per-iteration work is small (P x T matmuls); at ~576
+    # tiles the scan is iteration-latency-bound without it.
+    img, _ = jax.lax.scan(body, img0, (tile_lo, tro, tco), unroll=4)
     return img
 
 
@@ -668,7 +670,7 @@ def _splat_windowed(ct, rows01, cols01, tile_lo, band, tile, Hb, Wb):
                            preferred_element_type=jnp.float32)
         return carry, splat * lo[2].astype(jnp.float32)
 
-    _, tiles = jax.lax.scan(body, (), (tile_lo, tro, tco))
+    _, tiles = jax.lax.scan(body, (), (tile_lo, tro, tco), unroll=4)
     out = tiles.reshape(nty, ntx, tile, tile, C)
     return jnp.moveaxis(out, 1, 2).reshape(Hb, Wb, C)
 
