@@ -38,8 +38,28 @@ def main():
     cam = make_camera(CameraConfig(width=1920, height=1080))
 
     t0 = time.perf_counter()
-    grid = jax.block_until_ready(
-        jax.jit(cloud_volume, static_argnums=(0,))(512, 7))
+    try:
+        grid = jax.block_until_ready(
+            jax.jit(cloud_volume, static_argnums=(0,))(512, 7))
+    except Exception as e:  # the 512^3 noise graph can overwhelm the
+        # remote compile helper; an upsampled 256^3 cloud is an equally
+        # valid 512^3 density payload for the perf capture
+        log(f"512^3 noise build failed ({type(e).__name__}); "
+            "upsampling a 256^3 cloud instead")
+        from volumetricrenderer_tpu.ops.resample import \
+            linear_resample_matrix
+
+        @jax.jit
+        def upsample():
+            g = cloud_volume(256, seed=7)
+            q = (jnp.arange(512, dtype=jnp.float32) + 0.5) / 512
+            W = linear_resample_matrix(q, 256, "clamp")
+            for dim in range(3):
+                g = jnp.moveaxis(
+                    jnp.tensordot(W, g, axes=(1, dim)), 0, dim)
+            return g
+
+        grid = jax.block_until_ready(upsample())
     plan = plan_sweep(cam, grid.shape, cfg)
     jax.block_until_ready(plan.seglen)
     log(f"setup {time.perf_counter()-t0:.0f}s; base {plan.base_shape}, "
