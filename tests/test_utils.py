@@ -266,3 +266,33 @@ def test_animate_video_flag(tmp_path):
     assert rc == 0
     first = decode_png(os.path.join(out, "anim.apng"))
     assert first.shape == (16, 24, 4)
+
+
+def test_async_frame_writer(tmp_path):
+    """Pipelined present analogue: frames written on worker threads,
+    joined at context exit; content identical to the sync writer."""
+    import numpy as np
+
+    from volumetricrenderer_tpu.utils.image import (AsyncFrameWriter,
+                                                    write_png)
+    rng = np.random.default_rng(0)
+    frames = [rng.random((8, 8, 4)).astype(np.float32) for _ in range(5)]
+    with AsyncFrameWriter(workers=2) as w:
+        for i, f in enumerate(frames):
+            w.write(str(tmp_path / f"a_{i}.png"), f)
+    for i, f in enumerate(frames):
+        write_png(str(tmp_path / f"s_{i}.png"), f)
+        a = (tmp_path / f"a_{i}.png").read_bytes()
+        s = (tmp_path / f"s_{i}.png").read_bytes()
+        assert a == s and len(a) > 0
+
+
+def test_async_frame_writer_raises_on_failure(tmp_path):
+    import numpy as np
+    import pytest
+
+    from volumetricrenderer_tpu.utils.image import AsyncFrameWriter
+    with pytest.raises(OSError):
+        with AsyncFrameWriter() as w:
+            w.write(str(tmp_path / "no_such_dir" / "x.png"),
+                    np.zeros((4, 4, 3), np.float32))

@@ -195,9 +195,13 @@ def cmd_animate(args):
                                 backend="sweep")
 
     import numpy as np
+
+    from .utils.image import AsyncFrameWriter
     collected = [] if args.video else None
     clock = Clock()
-    with _MaybeProfile(args.profile_dir):
+    # PNG writes pipeline on a thread pool (the frames-in-flight present
+    # analogue) so disk IO overlaps the next frame's render.
+    with _MaybeProfile(args.profile_dir), AsyncFrameWriter() as writer:
         for i in range(args.frames):
             t = i / args.fps
             scroll = (reference_media_scroll(t, n_channels=n_ch)
@@ -209,9 +213,10 @@ def cmd_animate(args):
                     render_image(grid, camera_at(i), cfg, medium, light,
                                  scroll=scroll, backend=args.backend))
             path = os.path.join(args.out_dir, f"frame_{i:05d}.png")
-            write_png(path, img)
+            arr = np.asarray(img)
+            writer.write(path, arr)
             if collected is not None:
-                collected.append(np.asarray(img))
+                collected.append(arr)
             dt = clock.stamp()
             metrics.write(frame=i, seconds=dt, fps=1.0 / max(dt, 1e-9),
                           mrays_per_s=preset.camera.width

@@ -67,3 +67,36 @@ def write_ppm(path, img):
         f.write(b"P6\n%d %d\n255\n" % (w, h))
         f.write(arr.tobytes())
     return path
+
+
+class AsyncFrameWriter:
+    """Pipelined frame presentation: PNG encodes/writes run on a small
+    thread pool so the render loop never blocks on disk — the headless
+    analogue of the reference's frames-in-flight present queue
+    (MAX_FRAMES_IN_FLIGHT=2, VulkanRenderer.cpp:13: the GPU renders frame
+    N+1 while frame N is presented). zlib/file IO release the GIL, so
+    threads give real overlap. Use as a context manager; exit joins all
+    pending writes and re-raises the first failure."""
+
+    def __init__(self, workers: int = 2):
+        from concurrent.futures import ThreadPoolExecutor
+        self._pool = ThreadPoolExecutor(max_workers=workers,
+                                        thread_name_prefix="frame-writer")
+        self._pending = []
+
+    def write(self, path, img):
+        """img must be host data (np.asarray any device array first)."""
+        arr = np.asarray(img)
+        self._pending.append(self._pool.submit(write_png, path, arr))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        errs = [f.exception() for f in self._pending]
+        self._pool.shutdown(wait=True)
+        self._pending.clear()
+        for e in errs:
+            if e is not None:
+                raise e
+        return False
