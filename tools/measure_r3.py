@@ -135,6 +135,9 @@ def main():
         ("pallas_base_fwdbwd",
          k_frames(partial(basemaps_loss, use_pallas=True), True)),
     ]
+    only = os.environ.get("VOLT_M_ONLY", "")  # substring filter
+    if only:
+        variants = [(n, f) for n, f in variants if only in n]
     for name, fn in variants:
         try:
             per_dispatch, compile_s = time_dispatches(fn, (grid,), ITERS,

@@ -138,15 +138,17 @@ def cmd_animate(args):
 
     preset = _resolve_preset(args)
     os.makedirs(args.out_dir, exist_ok=True)
+    medium = preset.medium
     if preset.scene:
-        # Multi-volume preset (config 3): bake the scene once onto a shared
-        # grid, exactly like render_preset's auto path — the same preset
-        # must show the same content under `render` and `animate`.
+        # Multi-volume preset (config 3): bake the scene once via the
+        # SAME helper render_scene uses (incl. reference-combine
+        # materialization) — the same preset must show the same content
+        # under `render` and `animate`.
         from .models import scene as scene_mod
-        from .models.scene import bake_scene
+        from .render import prepare_baked_scene
         volumes = getattr(scene_mod, preset.scene)(preset.volume.size)
-        size = max(max(v.grid.shape[:3]) for v in volumes)
-        grid = bake_scene(volumes, size, preset.render)
+        grid, medium, _ = prepare_baked_scene(volumes, preset.render,
+                                              medium)
     else:
         grid = build_volume(preset.volume)
     n_ch = grid.shape[-1] if grid.ndim == 4 else 1
@@ -162,7 +164,7 @@ def cmd_animate(args):
                                 height=preset.camera.height)
         return make_camera(preset.camera)
 
-    cfg, medium, light = preset.render, preset.medium, preset.light
+    cfg, light = preset.render, preset.light
     sliced = cfg.quadrature == "sliced" and args.backend in ("auto", "sweep")
     plans = [None] * args.frames
     frame_fn = None
@@ -189,7 +191,11 @@ def cmd_animate(args):
             lv = None
             if use_shadow and cfg.emission:
                 from .ops.lighting import light_transmittance_volume
-                lv = light_transmittance_volume(g, light, cfg, medium)
+                # scroll must reach the shadow sweep too — reference-
+                # combine shadows track the scrolling media exactly as
+                # render_image's path does
+                lv = light_transmittance_volume(g, light, cfg, medium,
+                                                scroll=scroll)
             return render_image(g, None, cfg, medium, light, scroll=scroll,
                                 plan=plan, light_volume=lv,
                                 backend="sweep")
@@ -299,8 +305,12 @@ def cmd_fit(args):
     write_png(os.path.join(args.out_dir, "fitted.png"),
               np.asarray(final[..., :3]))
     metrics.close()
-    get_logger().info("fit: loss %.6f -> %.6f; artifacts in %s",
-                      res.losses[0], res.losses[-1], args.out_dir)
+    if res.losses:
+        get_logger().info("fit: loss %.6f -> %.6f; artifacts in %s",
+                          res.losses[0], res.losses[-1], args.out_dir)
+    else:
+        get_logger().info("fit: already complete at step %d; artifacts "
+                          "in %s", res.steps, args.out_dir)
     return 0
 
 

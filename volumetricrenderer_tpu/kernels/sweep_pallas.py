@@ -84,7 +84,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import LightConfig, MediumConfig, RenderConfig
 
 RB = 128     # base rows per block (plan base dims are multiples of 128)
-CHUNK = 8    # slices per grid step (statically unrolled in the kernel)
+CHUNK = 8    # slices per grid step (statically unrolled in the kernel; 16
+             # measured: fwd -0.4 ms but bwd +1.2 ms and 2x bwd scratch)
 LANES = 128
 
 __all__ = ["supported", "sweep_base_pallas"]

@@ -735,6 +735,18 @@ def warp_base_to_pixels(base_img, plan: SweepPlan, miss=None,
         base_img = base_img[..., None]
     if pallas is None:
         pallas = False
+    elif pallas:
+        # forced Pallas path: keep the kernels' static gate (VMEM fit +
+        # tile divisibility) so failures are a clear error, not an opaque
+        # Mosaic one
+        from ..kernels.warp_pallas import supported as wp_supported
+        H, W = plan.warp_rows01.shape
+        if not wp_supported(plan.warp_band, (H, W, base_img.shape[-1]),
+                            plan.base_shape):
+            raise NotImplementedError(
+                "pallas warp kernels do not support this configuration "
+                "(pixel image must fit VMEM; base dims must divide the "
+                "warp tile)")
     out = _warp_bilinear(base_img, plan.warp_rows01, plan.warp_cols01,
                          plan.warp_tile_lo, plan.warp_band, plan.warp_blk,
                          bool(pallas))
@@ -801,22 +813,22 @@ def _sigma_general(gperm, z_s, a01_base, b01_base, plan, medium, scroll,
         if layer_offset is not None:
             raise NotImplementedError(
                 "sharded sweep supports combine='single' media (scaled/"
-                "scrolled channel coords may cross slab boundaries)")
-        samples = []
-        for c in range(4):
-            sc = medium.channel_coord_scale[c]
+                "scrolled channel coords may cross slab boundaries); the "
+                "sharded renderer pre-lerps channels instead "
+                "(chan_slabs)")
+
+        def lerped_channel(c):
             if scroll is not None:
-                off = scroll[c] * medium.channel_scroll_weight[c]
-                off_k, off_a, off_b = off[c_k], off[c_a], off[c_b]
+                off_k = (scroll[c] * medium.channel_scroll_weight[c])[c_k]
             else:
-                off_k = off_a = off_b = 0.0
-            g = _layer_lerp(gperm[..., c], z_s * sc + off_k, depth,
-                            address_mode)
-            samples.append(_resample_slice(
-                g, a01_base * sc + off_a, b01_base * sc + off_b,
-                address_mode, dtype))
-        s1, s2, s3, s4 = samples
-        return (s1 * s2) * (s3 + s4) * medium.sample_scale
+                off_k = 0.0
+            sc = medium.channel_coord_scale[c]
+            return _layer_lerp(gperm[..., c], z_s * sc + off_k, depth,
+                               address_mode)
+
+        return _combine_reference_inplane(lerped_channel, a01_base,
+                                          b01_base, plan, medium, scroll,
+                                          address_mode, dtype)
     elif medium.combine == "single":
         g = gperm[..., 0] if gperm.ndim == 4 else gperm
         g = _layer_lerp(g, z_s, depth, address_mode, layer_offset)
@@ -825,15 +837,12 @@ def _sigma_general(gperm, z_s, a01_base, b01_base, plan, medium, scroll,
     raise ValueError(f"unknown combine mode {medium.combine!r}")
 
 
-def _sigma_from_channel_slabs(chan_s, a01_base, b01_base, plan, medium,
-                              scroll, address_mode, dtype):
-    """Reference-combine extinction for one slice from PRE-LERPED channel
-    slabs chan_s (C, A, B) — the sweep-axis third of each channel's
-    trilinear sample already applied (kernels.sweep_pallas._layer_channels
-    semantics). Only the in-plane separable resample at per-channel
-    scaled/scrolled coords remains, which is slab-local — this is what
-    makes the reference combine shardable (the cross-slab k-gather moved
-    into the XLA precompute, where GSPMD handles it)."""
+def _combine_reference_inplane(channel_slab, a01_base, b01_base, plan,
+                               medium, scroll, address_mode, dtype):
+    """The reference combine's in-plane half, shared by the unsharded and
+    sharded sigma paths: per channel, separable resample of its (already
+    sweep-axis-lerped) 2D slab at scaled/scrolled coords, then
+    (s1*s2)*(s3+s4)*scale (frag.glsl:63-71). channel_slab(c) -> (A, B)."""
     c_k, c_a, c_b = plan.coord_order
     samples = []
     for c in range(4):
@@ -844,10 +853,24 @@ def _sigma_from_channel_slabs(chan_s, a01_base, b01_base, plan, medium,
         else:
             off_a = off_b = 0.0
         samples.append(_resample_slice(
-            chan_s[c], a01_base * sc + off_a, b01_base * sc + off_b,
+            channel_slab(c), a01_base * sc + off_a, b01_base * sc + off_b,
             address_mode, dtype))
     s1, s2, s3, s4 = samples
     return (s1 * s2) * (s3 + s4) * medium.sample_scale
+
+
+def _sigma_from_channel_slabs(chan_s, a01_base, b01_base, plan, medium,
+                              scroll, address_mode, dtype):
+    """Reference-combine extinction for one slice from PRE-LERPED channel
+    slabs chan_s (C, A, B) — the sweep-axis third of each channel's
+    trilinear sample already applied (kernels.sweep_pallas._layer_channels
+    semantics). Only the in-plane separable resample remains, which is
+    slab-local — this is what makes the reference combine shardable (the
+    cross-slab k-gather moved into the XLA precompute, where GSPMD
+    handles it)."""
+    return _combine_reference_inplane(lambda c: chan_s[c], a01_base,
+                                      b01_base, plan, medium, scroll,
+                                      address_mode, dtype)
 
 
 def _sweep_base(

@@ -43,7 +43,7 @@ from .ops.integrate import (reference_media_scroll, render_rays,
 from .ops.sweep import SweepPlan, plan_sweep, sweep_render
 
 __all__ = ["render", "render_preset", "render_image", "render_scene",
-           "plan_for"]
+           "prepare_baked_scene", "plan_for"]
 
 
 def plan_for(camera: Camera, grid_shape, cfg: RenderConfig,
@@ -114,6 +114,33 @@ def render_image(
 render = render_image
 
 
+def prepare_baked_scene(volumes, cfg: RenderConfig, medium: MediumConfig,
+                        scroll=None, bake_size=None):
+    """Bake a multi-volume scene onto one shared grid for the single-grid
+    sweep path; returns (grid, medium, scroll) ready for render_image.
+
+    4-channel reference combine (frag.glsl:63-71): each volume's combined
+    sigma is first materialized at voxel centers (ops/media.py — the
+    scroll folds into the materialization), then the scalar fields bake
+    as usual (overlapping sigmas add — independent scatterers) and the
+    returned medium is the equivalent single-channel one. Shared by
+    render_scene and the animate CLI so one preset renders identically
+    through both."""
+    import dataclasses as _dc
+
+    volumes = [v if isinstance(v, Volume) else Volume(v) for v in volumes]
+    if medium.combine == "reference":
+        from .ops.media import materialize_sigma
+        volumes = [
+            Volume(materialize_sigma(v.grid, medium, scroll,
+                                     cfg.address_mode), v.world_to_local)
+            for v in volumes]
+        medium = _dc.replace(medium, combine="single", sample_scale=1.0)
+        scroll = None
+    size = bake_size or max(max(v.grid.shape[:3]) for v in volumes)
+    return bake_scene(volumes, size, cfg), medium, scroll
+
+
 def render_scene(
     volumes,
     camera: Camera,
@@ -142,27 +169,8 @@ def render_scene(
     if medium.combine not in ("single", "reference"):
         raise ValueError(f"unknown combine mode {medium.combine!r}")
     if backend in ("auto", "sweep") and cfg.quadrature == "sliced":
-        bake_medium = medium
-        if medium.combine == "reference":
-            # 4-channel reference combine (frag.glsl:63-71) per volume:
-            # materialize each volume's combined sigma at voxel centers
-            # (ops/media.py), then bake those scalar fields as usual —
-            # overlapping sigmas add (independent scatterers). The scroll
-            # is folded into the materialization, so the per-frame path
-            # below sees a plain single-channel medium.
-            import dataclasses as _dc
-
-            from .ops.media import materialize_sigma
-            volumes = [
-                Volume(materialize_sigma(v.grid, medium, scroll,
-                                         cfg.address_mode),
-                       v.world_to_local)
-                for v in volumes]
-            bake_medium = _dc.replace(medium, combine="single",
-                                      sample_scale=1.0)
-            scroll = None
-        size = bake_size or max(max(v.grid.shape[:3]) for v in volumes)
-        grid = bake_scene(volumes, size, cfg)
+        grid, bake_medium, scroll = prepare_baked_scene(
+            volumes, cfg, medium, scroll=scroll, bake_size=bake_size)
         return render_image(grid, camera, cfg, bake_medium, light,
                             scroll=scroll, backend=backend, plan=plan)
     origins, directions = camera_rays(camera)
