@@ -105,7 +105,7 @@ def supported(plan, cfg: RenderConfig, medium: MediumConfig,
         # coordinate scale + scroll (frag.glsl:63-71), mirror addressing
         # as the Vulkan sampler (VulkanCore.cpp:683-685).
         return (common
-                and cfg.dtype == "float32"
+                and cfg.dtype in ("float32", "bfloat16")
                 and grid_ndim == 4
                 and light_volume is None
                 and cfg.address_mode == "mirror")
@@ -890,13 +890,25 @@ def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch):
         s34 = r[2] + r[3]
         dr = (dsig * r[1] * s34, dsig * r[0] * s34,
               dsig * r[0] * r[1], dsig * r[0] * r[1])
+        low = l_ref.dtype == jnp.bfloat16
         for c in range(NCH):
             i0, i1, fb = taps[c]
             Wbm = (jnp.where(cols == i0[:, None], (1.0 - fb)[:, None], 0.0)
                    + jnp.where(cols == i1[:, None], fb[:, None], 0.0))
-            u = jnp.dot(dr[c], Wbm, preferred_element_type=jnp.float32)
-            dl_ref[s, c] = dl_ref[s, c] + jax.lax.dot_general(
-                wa_ref[s, c], u, tA, preferred_element_type=jnp.float32)
+            if low:
+                # bf16 stream mode: both scatter dots on the bf16 MXU
+                # path (f32 accumulation), matching the wa stream dtype.
+                u = jnp.dot(dr[c].astype(jnp.bfloat16),
+                            Wbm.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                dl_ref[s, c] = dl_ref[s, c] + jax.lax.dot_general(
+                    wa_ref[s, c], u.astype(jnp.bfloat16), tA,
+                    preferred_element_type=jnp.float32)
+            else:
+                u = jnp.dot(dr[c], Wbm, preferred_element_type=jnp.float32)
+                dl_ref[s, c] = dl_ref[s, c] + jax.lax.dot_general(
+                    wa_ref[s, c], u, tA,
+                    preferred_element_type=jnp.float32)
 
 
 def _run_bwd_ref(lperm4, slice_z, wa_all, u_grid, seglen, params,
@@ -1032,11 +1044,14 @@ def sweep_base_pallas_ref(gperm4, plan, cfg, medium, light, scroll=None,
         jnp.stack([offs[c][2] for c in range(NCH)]),
     ])
     A = gperm4.shape[1] if lperm4 is None else lperm4.shape[2]
+    kdt = cfg.jnp_dtype  # stream dtype (bf16-able; f32 accumulators)
     wa_all = jax.lax.stop_gradient(
-        _row_matrices_ref(plan, A, medium, offs, cfg.address_mode))
+        _row_matrices_ref(plan, A, medium, offs,
+                          cfg.address_mode)).astype(kdt)
     if lperm4 is None:
         lperm4 = _layer_channels(gperm4, plan.slice_z, medium, offs,
                                  cfg.address_mode)
+    lperm4 = lperm4.astype(kdt)  # autodiff casts the cotangent back
 
     def run_fwd(L, with_ckpt):
         return _run_fwd_ref(L, plan.slice_z, wa_all, plan.u_grid,
@@ -1068,7 +1083,7 @@ def sweep_base_pallas_ref(gperm4, plan, cfg, medium, light, scroll=None,
             dL = _run_bwd_ref(L, plan.slice_z, wa_all, plan.u_grid,
                               plan.seglen, params, False, None, None, None,
                               None, ct_acc, interpret)
-        return (dL,)
+        return (dL.astype(L.dtype),)
 
     f.defvjp(f_fwd, f_bwd)
     return f(lperm4)
