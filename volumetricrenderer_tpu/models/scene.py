@@ -18,7 +18,7 @@ each channel from its own buffer (the evident intent).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

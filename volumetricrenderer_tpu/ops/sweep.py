@@ -53,7 +53,7 @@ import numpy as np
 
 from ..config import LightConfig, MediumConfig, RenderConfig
 from .camera import Camera, camera_rays
-from .resample import linear_resample_matrix, sample_bilinear_2d
+from .resample import linear_resample_matrix
 from .sampling import apply_address_mode
 
 __all__ = ["SweepPlan", "plan_sweep", "plan_base_dims", "plan_signature",

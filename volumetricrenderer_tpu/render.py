@@ -34,8 +34,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .config import (CameraConfig, LightConfig, MediumConfig, Preset,
-                     RenderConfig)
+from .config import (LightConfig, MediumConfig, Preset, RenderConfig)
 from .models.scene import Volume, bake_scene, build_volume
 from .ops.camera import Camera, camera_rays, make_camera
 from .ops.integrate import (reference_media_scroll, render_rays,
