@@ -127,7 +127,12 @@ def _pad_lanes(t, B):
 
 def _lane_gather(t, idx_row, n_pieces):
     """t[r, idx[j]] for a 128-wide output-column chunk. t: (RB, >=LANES),
-    idx_row: (LANES,) int32 clipped to [0, B)."""
+    idx_row: (LANES,) int32 clipped to [0, B).
+
+    The per-128-lane masked decomposition is REQUIRED: Mosaic's
+    dynamic_gather only lowers within one 128-lane tile (a direct
+    take_along_axis across a 256-wide source fails to compile —
+    measured r3)."""
     idx = jnp.broadcast_to(idx_row[None, :], (t.shape[0], LANES))
     if n_pieces == 1:
         return jnp.take_along_axis(t[:, :LANES], idx, axis=1)
