@@ -132,7 +132,11 @@ def _lane_gather(t, idx_row, n_pieces):
     The per-128-lane masked decomposition is REQUIRED: Mosaic's
     dynamic_gather only lowers within one 128-lane tile (a direct
     take_along_axis across a 256-wide source fails to compile —
-    measured r3)."""
+    measured r3). A roll-window variant (dynamic pltpu.roll to land each
+    chunk's tap span in one tile, single gather) was also measured
+    SLOWER (11.6 vs 7.3 ms/frame fwd at the flagship scene — the
+    per-chunk full-width lane rotations cost more than the masked
+    pieces); don't re-try without new evidence."""
     idx = jnp.broadcast_to(idx_row[None, :], (t.shape[0], LANES))
     if n_pieces == 1:
         return jnp.take_along_axis(t[:, :LANES], idx, axis=1)
