@@ -185,23 +185,33 @@ def main():
     # (VulkanTexture.cpp:116-118), so low-precision storage is
     # reference-native. The f32 number stays the headline (its gradient
     # parity is the validated contract).
+    # Non-headline phases are individually guarded: a tunnel stall or
+    # compile failure here must not lose the headline capture.
     import dataclasses
     cfg_bf16 = dataclasses.replace(cfg, dtype="bfloat16")
-    per_frame_bf16 = time_k_frames(
-        make_fwdbwd(plan, cfg_bf16, medium, None, FRAMES), grid, FRAMES,
-        max(ITERS - 1, 1), null_s, "bf16 fwd+bwd")
+    try:
+        per_frame_bf16 = time_k_frames(
+            make_fwdbwd(plan, cfg_bf16, medium, None, FRAMES), grid,
+            FRAMES, max(ITERS - 1, 1), null_s, "bf16 fwd+bwd")
+    except Exception as e:
+        log(f"bf16 phase failed: {type(e).__name__}: {e}")
+        per_frame_bf16 = float("nan")
 
     # --- Early exit probed where it matters: a dense medium saturates
     # rays, so the gate can skip real work (the reference cannot:
     # frag.glsl:57-75 has no cutoff).
     dense_medium = dataclasses.replace(medium, density=200.0)
     cfg_nogate = dataclasses.replace(cfg, early_stop_transmittance=-1.0)
-    dense_gated = time_k_frames(
-        make_fwdbwd(plan, cfg, dense_medium, None, DENSE_FRAMES), grid,
-        DENSE_FRAMES, 2, null_s, "dense gated")
-    dense_ungated = time_k_frames(
-        make_fwdbwd(plan, cfg_nogate, dense_medium, None, DENSE_FRAMES),
-        grid, DENSE_FRAMES, 2, null_s, "dense ungated")
+    try:
+        dense_gated = time_k_frames(
+            make_fwdbwd(plan, cfg, dense_medium, None, DENSE_FRAMES), grid,
+            DENSE_FRAMES, 2, null_s, "dense gated")
+        dense_ungated = time_k_frames(
+            make_fwdbwd(plan, cfg_nogate, dense_medium, None, DENSE_FRAMES),
+            grid, DENSE_FRAMES, 2, null_s, "dense ungated")
+    except Exception as e:
+        log(f"dense phase failed: {type(e).__name__}: {e}")
+        dense_gated = dense_ungated = float("nan")
 
     # Early-exit rates (fraction of base pixels saturated at frame end).
     from volumetricrenderer_tpu.ops.sweep import _sweep_base
@@ -215,8 +225,13 @@ def main():
                            None, None)
         return jnp.mean((maps[1] <= cfg.early_stop_transmittance)
                         .astype(jnp.float32))
-    rate_flagship = float(exit_rate(grid, jnp.float32(medium.density)))
-    rate_dense = float(exit_rate(grid, jnp.float32(dense_medium.density)))
+    try:
+        rate_flagship = float(exit_rate(grid, jnp.float32(medium.density)))
+        rate_dense = float(exit_rate(grid,
+                                     jnp.float32(dense_medium.density)))
+    except Exception as e:
+        log(f"exit-rate phase failed: {type(e).__name__}: {e}")
+        rate_flagship = rate_dense = float("nan")
 
     # --- MFU accounting (dense matmul FLOPs actually issued vs the
     # detected chip's MXU peak; useful = the 2-tap bilinear work those
@@ -230,6 +245,10 @@ def main():
     mfu = dense / per_frame / peak
     useful_mfu = useful / per_frame / peak
 
+    def r(x, n=2):
+        # failed phases produce NaN; emit null instead (strict JSON)
+        return None if x != x else round(x, n)
+
     rays_per_s = WIDTH * HEIGHT / per_frame
     print(json.dumps({
         "metric": "rays/s/chip fwd+bwd at 256^3/1080p",
@@ -242,17 +261,17 @@ def main():
         "frames_per_dispatch": FRAMES,
         "pallas_vs_jnp": round(per_frame_jnp / per_frame, 3),
         "ms_per_frame_jnp": round(per_frame_jnp * 1e3, 2),
-        "ms_per_frame_bf16": round(per_frame_bf16 * 1e3, 2),
-        "bf16_speedup": round(per_frame / per_frame_bf16, 3),
+        "ms_per_frame_bf16": r(per_frame_bf16 * 1e3),
+        "bf16_speedup": r(per_frame / per_frame_bf16, 3),
         "mfu": round(mfu, 4),
         "useful_mfu": round(useful_mfu, 5),
         "dense_tflops_per_s": round(dense / per_frame / 1e12, 2),
         "device": kind,
-        "early_exit_rate_flagship": round(rate_flagship, 4),
-        "early_exit_rate_dense": round(rate_dense, 4),
-        "dense_scene_ms_gated": round(dense_gated * 1e3, 2),
-        "dense_scene_ms_ungated": round(dense_ungated * 1e3, 2),
-        "early_exit_saving_pct": round(
+        "early_exit_rate_flagship": r(rate_flagship, 4),
+        "early_exit_rate_dense": r(rate_dense, 4),
+        "dense_scene_ms_gated": r(dense_gated * 1e3),
+        "dense_scene_ms_ungated": r(dense_ungated * 1e3),
+        "early_exit_saving_pct": r(
             100.0 * (1.0 - dense_gated / dense_ungated), 1),
         "base_shape": [int(Hb), int(Wb)],
         "bench_total_s": round(time.perf_counter() - t_start, 1),
