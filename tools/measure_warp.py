@@ -1,9 +1,11 @@
 """Focused warp-stage benchmark: times JUST warp_base_to_pixels fwd and
-bwd (pallas vs jnp) on a real flagship plan — fast iteration loop for
-warp kernel work.
+bwd on a real flagship plan — fast iteration loop for warp work.
+(The Pallas warp kernels were removed in round 4 after losing their r3
+A/B by ~8x; this tool now times the XLA windowed path only.)
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/measure_warp.py
-Env: VOLT_W_FRAMES (32), VOLT_W_ITERS (2), VOLT_W_CH (4), VOLT_W_OUT.
+Env: VOLT_W_FRAMES (32), VOLT_W_ITERS (2), VOLT_W_CH (2 — the emission
+path warps (wsum, trans)), VOLT_W_OUT.
 """
 from __future__ import annotations
 
@@ -50,7 +52,7 @@ def main():
             # t must vary the warp INPUT — varying only the output scalar
             # lets XLA hoist the whole warp out of the frame scan.
             out = warp_base_to_pixels(b * (1.0 + 0.0 * t), plan,
-                                      miss=(0.0,) * CH, pallas=mode)
+                                      miss=(0.0,) * CH)
             return jnp.sum(out ** 2)
 
         @jax.jit
@@ -94,10 +96,8 @@ def main():
         results["moveaxis_only"] = round(ms, 2)
 
     run_moveaxis()
-    run("pallas_fwd", True, False)
-    run("pallas_fwdbwd", True, True)
-    run("jnp_fwd", False, False)
-    run("jnp_fwdbwd", False, True)
+    run("xla_fwd", None, False)
+    run("xla_fwdbwd", None, True)
     out = json.dumps(results)
     print(out, flush=True)
     if OUT:

@@ -24,7 +24,9 @@ from volumetricrenderer_tpu.ops.camera import make_camera
 from volumetricrenderer_tpu.ops.sweep import plan_sweep, sweep_render
 
 FRAMES = int(os.environ.get("VOLT_S_FRAMES", 8))
-OUT = os.environ.get("VOLT_S_OUT", "SCALE512_r3.json")
+OUT = os.environ.get("VOLT_S_OUT", "SCALE512_r4.json")
+SLICES = [int(x) for x in
+          os.environ.get("VOLT_S_SLICES", "512,256,128").split(",")]
 
 
 def log(m):
@@ -60,10 +62,14 @@ def main():
             return g
 
         grid = jax.block_until_ready(upsample())
-    plan = plan_sweep(cam, grid.shape, cfg)
+    plans = {}
+    for S in SLICES:
+        plans[S] = plan_sweep(cam, grid.shape, cfg,
+                              n_slices=None if S == 512 else S)
+    plan = plans[SLICES[0]]
     jax.block_until_ready(plan.seglen)
     log(f"setup {time.perf_counter()-t0:.0f}s; base {plan.base_shape}, "
-        f"slices {plan.slice_z.shape[0]}")
+        f"row_window {plan.row_window}")
 
     nul = jax.jit(lambda x: x + 1.0)
     float(nul(jnp.float32(0.0)))
@@ -72,7 +78,7 @@ def main():
         float(nul(jnp.float32(i)))
     null_s = (time.perf_counter() - t0) / 8
 
-    def run(grad, label):
+    def run(grad, label, plan):
         def loss(g, t):
             img = sweep_render(g * (1.0 + 0.0 * t), plan, cfg, medium)
             return jnp.sum(img[..., :3] ** 2)
@@ -98,22 +104,41 @@ def main():
         log(f"{label}: {ms:.1f} ms/frame (compile {comp:.0f}s)")
         return ms, comp
 
-    fwd_ms, fwd_comp = run(False, "512^3 fwd")
-    fb_ms, fb_comp = run(True, "512^3 fwd+bwd")
     out = {
         "config": "config5 volume, single chip",
         "volume": 512, "width": 1920, "height": 1080,
         "grid_bytes_mb": 512,
         "base_shape": [int(x) for x in plan.base_shape],
-        "ms_per_frame_fwd": round(fwd_ms, 1),
-        "ms_per_frame_fwd_bwd": round(fb_ms, 1),
-        "mrays_per_s_fwd_bwd": round(1920 * 1080 / fb_ms / 1e3, 1),
+        "row_window": int(plan.row_window),
         "dispatch_overhead_ms": round(null_s * 1e3, 1),
         "frames_per_dispatch": FRAMES,
-        "compile_s": {"fwd": round(fwd_comp, 1), "fwd_bwd": round(fb_comp, 1)},
-        "total_s": round(time.perf_counter() - t_all, 1),
+        "slice_note": (
+            "slices=512 integrates at voxel-plane density (4x the "
+            "reference quadrature); the reference caps its march at 128 "
+            "steps for ANY volume size (frag.glsl:30, stepSize=4/128), "
+            "so slices=128 is reference step parity and slices=256 is "
+            "2x it (the flagship 256^3 bench density)"),
+        "by_slices": {},
         "device": str(jax.devices()[0]),
     }
+    for S in SLICES:
+        fwd_ms, fwd_comp = run(False, f"512^3/{S} fwd", plans[S])
+        fb_ms, fb_comp = run(True, f"512^3/{S} fwd+bwd", plans[S])
+        out["by_slices"][str(S)] = {
+            "ms_per_frame_fwd": round(fwd_ms, 1),
+            "ms_per_frame_fwd_bwd": round(fb_ms, 1),
+            "mrays_per_s_fwd_bwd": round(1920 * 1080 / fb_ms / 1e3, 1),
+            "vs_reference_ceiling": round(
+                1920 * 1080 / fb_ms * 1e3 / (1280 * 720 * 60.0), 2),
+            "compile_s": [round(fwd_comp, 1), round(fb_comp, 1)],
+        }
+    # legacy top-level fields = the full-density (512-slice) numbers
+    out["ms_per_frame_fwd"] = out["by_slices"]["512"]["ms_per_frame_fwd"]
+    out["ms_per_frame_fwd_bwd"] = \
+        out["by_slices"]["512"]["ms_per_frame_fwd_bwd"]
+    out["mrays_per_s_fwd_bwd"] = \
+        out["by_slices"]["512"]["mrays_per_s_fwd_bwd"]
+    out["total_s"] = round(time.perf_counter() - t_all, 1)
     s = json.dumps(out, indent=1)
     print(s, flush=True)
     open(OUT, "w").write(s + "\n")

@@ -122,6 +122,19 @@ def animation_plans(cameras, grid_shape, cfg):
     band = (max(p.warp_band[0] for p in plans),
             max(p.warp_band[1] for p in plans))
     plans = [with_warp_band(p, band) for p in plans]
+    # Unify the fused-kernel row/column windows the same way (a >=
+    # window stays exact; one frame that cannot window forces the dense
+    # form on all so they still share an executable).
+    import dataclasses as _dc
+    def unify(vals):
+        vals = list(vals)
+        return 0 if 0 in vals else max(vals)
+
+    rw = unify(p.row_window for p in plans)
+    cw = unify(p.col_window for p in plans)
+    sw = unify(p.scatter_window for p in plans)
+    plans = [_dc.replace(p, row_window=rw, col_window=cw,
+                         scatter_window=sw) for p in plans]
     return plans, len({plan_signature(p) for p in plans})
 
 
@@ -288,14 +301,30 @@ def cmd_fit(args):
         import optax
         template = optax.adam(args.lr).init(
             jnp.zeros((args.size,) * 3, jnp.float32))
-        start, init_grid, init_opt, _ = restore_checkpoint(
+        start, init_grid, init_opt, extra = restore_checkpoint(
             ckpt_dir, opt_state_template=template)
+        # A checkpoint written under a different quadrature continues
+        # under a different loss/integrator — refuse rather than silently
+        # optimize a different objective (ADVICE r3). Checkpoints from
+        # before the metadata was recorded resume with a warning.
+        ck_quad = extra.get("quadrature")
+        if ck_quad is None:
+            get_logger().warning(
+                "checkpoint has no quadrature metadata (pre-round-4); "
+                "resuming under --quadrature %s", args.quadrature)
+        elif ck_quad != args.quadrature:
+            raise SystemExit(
+                f"checkpoint at {ckpt_dir} was written with quadrature "
+                f"{ck_quad!r} but --quadrature is {args.quadrature!r}; "
+                "resuming would optimize a different loss. Re-run with "
+                f"--quadrature {ck_quad} or a fresh --out-dir.")
         get_logger().info("resuming fit from step %d (%s)", start, ckpt_dir)
     res = fit_grid(
         target, cam, cfg, med, light, grid_size=args.size,
         steps=args.steps, learning_rate=args.lr, metrics=metrics,
         init_grid=init_grid, init_opt_state=init_opt, start_step=start,
-        checkpoint_fn=lambda s, g, st: save_checkpoint(ckpt_dir, s, g, st),
+        checkpoint_fn=lambda s, g, st: save_checkpoint(
+            ckpt_dir, s, g, st, extra={"quadrature": args.quadrature}),
         checkpoint_every=max(args.steps // 4, 1))
     if args.quadrature == "sliced":
         from .render import render_image
@@ -324,6 +353,24 @@ def cmd_info(args):
               f"{p.camera.width}x{p.camera.height}, "
               f"emission={p.render.emission}, "
               f"shadow_steps={p.light.shadow_steps}")
+    return 0
+
+
+def cmd_serve(args):
+    import json as _json
+
+    from .config import PRESETS
+    from .serve import serve
+    from .utils.metrics import get_logger
+
+    preset = PRESETS[args.preset]
+    result = serve(preset, port=args.port, frames=args.selftest_frames)
+    if result is not None:
+        print(_json.dumps(result, indent=1))
+        if args.selftest_out:
+            with open(args.selftest_out, "w") as f:
+                _json.dump(result, f, indent=1)
+        get_logger().info("interactive self-test complete")
     return 0
 
 
@@ -366,6 +413,20 @@ def main(argv=None):
                     help="resume from the latest checkpoint in "
                          "<out-dir>/ckpt (elastic recovery, SURVEY §5.3)")
     pf.set_defaults(fn=cmd_fit)
+
+    ps = sub.add_parser(
+        "serve", help="live interactive renderer over HTTP (the "
+                      "TestMain.cpp demo-loop analogue: WASD/QE keys "
+                      "drive the camera, R/F the media clock)")
+    ps.add_argument("--preset", default="config2")
+    ps.add_argument("--port", type=int, default=8788)
+    ps.add_argument("--selftest-frames", type=int, default=None,
+                    help="self-drive mode: issue synthetic key events, "
+                         "fetch N frames through the HTTP stack, print "
+                         "a JSON fps report, exit")
+    ps.add_argument("--selftest-out", default=None,
+                    help="write the self-drive JSON report here")
+    ps.set_defaults(fn=cmd_serve)
 
     pi = sub.add_parser("info", help="devices + presets")
     pi.set_defaults(fn=cmd_info)

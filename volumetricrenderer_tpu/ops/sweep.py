@@ -131,6 +131,18 @@ class SweepPlan:
     warp_band: Tuple[int, int] = dataclasses.field(
         metadata=dict(static=True))  # pixel-rect (rows, cols) per base tile
     warp_blk: int = dataclasses.field(metadata=dict(static=True))  # base tile
+    row_window: int = dataclasses.field(
+        default=0, metadata=dict(static=True))  # fused-kernel row window
+    # (grid rows, granule-rounded) — 0 keeps the dense row resample; see
+    # kernels/sweep_pallas.py "Windowed row resample".
+    col_window: int = dataclasses.field(
+        default=0, metadata=dict(static=True))  # fused-kernel column
+    # gather window (grid cols, 128-rounded) — 0 keeps the static
+    # all-pieces lane-gather decomposition.
+    scatter_window: int = dataclasses.field(
+        default=0, metadata=dict(static=True))  # backward column-scatter
+    # window (base cols per 128-col grid tile, 128-rounded) — 0 keeps the
+    # dense (Wb x B) scatter matmul.
 
     @property
     def base_shape(self):
@@ -274,13 +286,118 @@ def plan_base_dims(camera: Camera, grid_shape, cfg: RenderConfig,
     return g["Hb"], g["Wb"], g["axis"], g["sign"]
 
 
+def _row_window_blocks(slice_z, e_k, e_a, v_grid, A, Hb, S):
+    """Host-side (numpy) upper bound on the fused kernels' row-resample
+    window: the max, over every (slice-chunk, 128-row base block), of the
+    granule-aligned span of grid rows its banded row matrix taps (a01 is
+    monotone in the base row, so each block's taps are contiguous).
+    Returns the window in grid rows (multiple of GRAN), or 0 when
+    windowing cannot help (span ~ A). Must mirror
+    kernels/sweep_pallas._row_window_offsets exactly."""
+    from ..kernels.sweep_pallas import CHUNK, GRAN, RB
+    if A % GRAN or Hb % RB:
+        return 0
+    ch = math.gcd(CHUNK, S)
+    n_sc, n_rb = S // ch, Hb // RB
+    # float32 throughout: this must round EXACTLY like the device-side
+    # _row_window_offsets (f32 plan arrays) — an f64/f32 disagreement at
+    # a texel boundary could overflow the chosen window by one row.
+    e_k32, e_a32 = np.float32(e_k), np.float32(e_a)
+    delta = np.asarray(slice_z, np.float32) - e_k32
+    a01 = e_a32 + delta[:, None] * np.asarray(v_grid, np.float32)[None, :]
+    i0 = np.floor(a01 * np.float32(A) - np.float32(0.5)).astype(np.int64)
+    valid = (a01 >= 0.0) & (a01 <= 1.0)
+    # +-1 texel margin: the device computes a01 with fused multiply-adds
+    # whose rounding may differ from numpy's by 1 ulp, which can move a
+    # floor() across an integer; the margin keeps the host bound safe.
+    i0c = np.clip(i0 - 1, 0, A - 1)
+    i1c = np.clip(i0 + 2, 0, A - 1)
+    lo = np.where(valid, i0c, 1 << 30).reshape(n_sc, ch, n_rb, RB)
+    hi = np.where(valid, i1c, -1).reshape(n_sc, ch, n_rb, RB)
+    lo = lo.min(axis=(1, 3))
+    hi = hi.max(axis=(1, 3))
+    any_valid = hi >= 0
+    if not any_valid.any():
+        return 0
+    span = np.where(any_valid, hi - (np.minimum(lo, hi) // GRAN) * GRAN + 1,
+                    1)
+    k = int(-(-int(span.max()) // GRAN))
+    rw = max(k, 1) * GRAN
+    return rw if rw < A else 0
+
+
+def _col_window_elems(slice_z, e_k, e_b, u_grid, B, Wb):
+    """Host-side (numpy, f32) bound on the fused kernels' column-gather
+    window: the max, over every (slice, 128-lane output chunk), of the
+    128-aligned span of grid columns its two in-box taps address
+    (b01 is monotone in the base column). Returns the window in grid
+    columns (multiple of 128), or 0 when windowing cannot help. Must
+    stay conservative w.r.t. kernels/sweep_pallas._gather_cols'
+    in-kernel offset (computed from the same f32 taps; +-1 texel margin
+    absorbs fma-rounding differences)."""
+    from ..kernels.sweep_pallas import LANES
+    if B % LANES or Wb % LANES:
+        return 0
+    S = len(slice_z)
+    n_q = Wb // LANES
+    e_k32, e_b32 = np.float32(e_k), np.float32(e_b)
+    delta = np.asarray(slice_z, np.float32) - e_k32
+    b01 = e_b32 + delta[:, None] * np.asarray(u_grid, np.float32)[None, :]
+    i0 = np.floor(b01 * np.float32(B) - np.float32(0.5)).astype(np.int64)
+    valid = (b01 >= 0.0) & (b01 <= 1.0)
+    i0c = np.clip(i0 - 1, 0, B - 1)   # +-1 texel margin (see above)
+    i1c = np.clip(i0 + 2, 0, B - 1)
+    lo = np.where(valid, i0c, B - 1).reshape(S, n_q, LANES).min(axis=2)
+    hi = np.where(valid, i1c, 0).reshape(S, n_q, LANES).max(axis=2)
+    anyv = valid.reshape(S, n_q, LANES).any(axis=2)
+    span = np.where(anyv, hi - (np.minimum(lo, hi) // LANES) * LANES + 1,
+                    1)
+    p = max(int(-(-int(span.max()) // LANES)), 1)
+    cw = p * LANES
+    return cw if cw < B else 0
+
+
+def _scatter_window_elems(slice_z, e_k, e_b, u_grid, B, Wb):
+    """Host-side (numpy, f32) bound on the backward kernels' column-
+    scatter window: the max, over every (slice, 128-col grid tile), of
+    the 128-aligned span of BASE columns j whose two taps scatter into
+    that tile (the transpose view of _col_window_elems). Returns the
+    window in base columns (multiple of 128), or 0 when windowing cannot
+    help. Same f32/+-1-margin contract as the other window bounds."""
+    from ..kernels.sweep_pallas import LANES
+    if B % LANES or Wb % LANES:
+        return 0
+    n_bt = B // LANES
+    e_k32, e_b32 = np.float32(e_k), np.float32(e_b)
+    delta = np.asarray(slice_z, np.float32) - e_k32
+    b01 = e_b32 + delta[:, None] * np.asarray(u_grid, np.float32)[None, :]
+    i0 = np.floor(b01 * np.float32(B) - np.float32(0.5)).astype(np.int64)
+    valid = (b01 >= 0.0) & (b01 <= 1.0)
+    i0c = np.clip(i0 - 1, 0, B - 1)   # +-1 texel margin
+    i1c = np.clip(i0 + 2, 0, B - 1)
+    j = np.arange(Wb)[None, :]
+    span_max = 1
+    for bt in range(n_bt):
+        blo, bhi = bt * LANES, (bt + 1) * LANES
+        touches = valid & (i1c >= blo) & (i0c < bhi)
+        anyv = touches.any(axis=1)
+        jlo = np.where(touches, j, Wb - 1).min(axis=1)
+        jhi = np.where(touches, j, 0).max(axis=1)
+        span = np.where(anyv, jhi - (jlo // LANES) * LANES + 1, 1)
+        span_max = max(span_max, int(span.max()))
+    p = max(int(-(-span_max // LANES)), 1)
+    sw = p * LANES
+    return sw if sw < Wb else 0
+
+
 def plan_signature(plan: SweepPlan):
     """Everything that selects a distinct jit executable for a fixed
     image/volume size: static meta + array shapes. Two frames with equal
     signatures reuse one compiled render."""
     return (plan.axis, plan.sign, plan.perm, plan.base_shape,
             plan.slice_z.shape[0], plan.warp_band, plan.warp_blk,
-            plan.identity_warp)
+            plan.identity_warp, plan.row_window, plan.col_window,
+            plan.scatter_window)
 
 
 def with_warp_band(plan: SweepPlan, band: Tuple[int, int]) -> SweepPlan:
@@ -312,6 +429,7 @@ def plan_sweep(
     min_axis_component: float = 0.05,
     force_base_dims: Optional[Tuple[int, int]] = None,
     min_warp_band: Optional[Tuple[int, int]] = None,
+    min_row_window: Optional[int] = None,
 ) -> SweepPlan:
     """Build the static sweep geometry for a concrete camera (host-side).
 
@@ -374,6 +492,32 @@ def plan_sweep(
                      max(camera.width - band_c, 0), 1], jnp.int32))
     tile_lo = jnp.maximum(tile_lo, 0)
 
+    # Fused-kernel row/column windows (see kernels/sweep_pallas.py):
+    # valid for clamp/mirror only (wrap can wrap an edge tap across the
+    # axis).
+    row_window = col_window = scatter_window = 0
+    if cfg.address_mode in ("mirror", "clamp"):
+        row_window = _row_window_blocks(
+            slice_z, float(e01_xyz[c_k]), float(e01_xyz[c_a]), v_grid,
+            int(grid_shape[perm[1]]), Hb, S)
+        col_window = _col_window_elems(
+            slice_z, float(e01_xyz[c_k]), float(e01_xyz[c_b]), u_grid,
+            int(grid_shape[perm[2]]), Wb)
+        scatter_window = _scatter_window_elems(
+            slice_z, float(e01_xyz[c_k]), float(e01_xyz[c_b]), u_grid,
+            int(grid_shape[perm[2]]), Wb)
+    if min_row_window is not None:
+        # Compile-stable animation: a caller-unified (>=) window stays
+        # exact — offsets clip so the larger window still covers every
+        # block's span (see kernels/sweep_pallas._row_windows). 0 forces
+        # the dense resample (a frame that cannot window forces all).
+        if min_row_window == 0 or row_window == 0:
+            row_window = 0
+        else:
+            row_window = max(row_window, int(min_row_window))
+            if row_window >= int(grid_shape[perm[1]]):
+                row_window = 0
+
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     return SweepPlan(
         eye01=f32(e01_xyz[[c_k, c_a, c_b]]),
@@ -393,10 +537,18 @@ def plan_sweep(
         identity_warp=False,
         warp_band=(band_r, band_c),
         warp_blk=_WARP_TILE,
+        row_window=int(row_window),
+        col_window=int(col_window),
+        scatter_window=int(scatter_window),
     )
 
 
-_WARP_TILE = 64  # base-tile edge for the warp adjoint splat
+import os as _os
+
+_WARP_TILE = int(_os.environ.get("VOLT_WARP_TILE", 64))  # base-tile edge
+# for the warp windows: per-pixel flops scale ~T^2 x rect(T), so smaller
+# tiles cut flops but add scan iterations (A/B'd on chip, r4)
+_WARP_UNROLL = int(_os.environ.get("VOLT_WARP_UNROLL", 4))
 
 
 @partial(jax.jit,
@@ -531,25 +683,6 @@ def base_rays(plan: SweepPlan):
     return o, d
 
 
-def _pallas_warp_fwd(base, rows01, cols01, tab, band):
-    from ..kernels import warp_pallas as wp
-    H, W = rows01.shape
-    rp = wp.pad_pixels(rows01, -1.0)
-    cp = wp.pad_pixels(cols01, -1.0)
-    out = wp.warp_forward(jnp.moveaxis(base, -1, 0), rp, cp, tab, band)
-    return jnp.moveaxis(out, 0, -1)[:H, :W]
-
-
-def _pallas_warp_bwd(ct, rows01, cols01, tab, band, Hb, Wb):
-    from ..kernels import warp_pallas as wp
-    rp = wp.pad_pixels(rows01, -1.0)
-    cp = wp.pad_pixels(cols01, -1.0)
-    ctp = wp.pad_pixels(ct, 0.0)
-    out = wp.warp_backward(jnp.moveaxis(ctp, -1, 0), rp, cp, tab, band,
-                           Hb, Wb)
-    return jnp.moveaxis(out, 0, -1)
-
-
 def _tap_weights(q01, n, off, tile):
     """Two-banded tap weights local to a base tile: W[p, j] is the
     bilinear weight of tap (off + j) for flattened rect pixel p (zero when
@@ -608,12 +741,13 @@ def _warp_windowed_fwd(base, rows01, cols01, tile_lo, band, tile):
     img0 = jnp.zeros((H, W, C), jnp.float32)
     # unroll: the per-iteration work is small (P x T matmuls); at ~576
     # tiles the scan is iteration-latency-bound without it.
-    img, _ = jax.lax.scan(body, img0, (tile_lo, tro, tco), unroll=4)
+    img, _ = jax.lax.scan(body, img0, (tile_lo, tro, tco),
+                          unroll=_WARP_UNROLL)
     return img
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _warp_bilinear(base, rows01, cols01, tile_lo, band, tile, use_pallas):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _warp_bilinear(base, rows01, cols01, tile_lo, band, tile):
     """Bilinear warp base (Hb, Wb, C) -> (H, W, C) at per-pixel coords.
 
     Both directions run as scans of per-base-tile windowed matmuls over
@@ -626,18 +760,15 @@ def _warp_bilinear(base, rows01, cols01, tile_lo, band, tile, use_pallas):
     footprint pixels get 0 — warp_base_to_pixels' miss mask assigns their
     value, and the backward contract requires ct == 0 there.
 
-    use_pallas=True routes both directions through the Pallas kernels
-    (kernels/warp_pallas.py) instead — kept for comparison; measured
-    SLOWER than this XLA formulation at 1080p (58 vs ~5 ms fwd)."""
-    if use_pallas:
-        return _pallas_warp_fwd(base, rows01, cols01, tile_lo, band)
+    (A hand-written Pallas tile-kernel warp was A/B'd in round 3 and lost
+    by ~8x — 58 vs 7 ms fwd at 1080p, PROFILE_r3.json warp_ab — and was
+    removed in round 4; XLA pipelines this scan of windowed matmuls
+    better than the hand-scheduled kernel did.)"""
     return _warp_windowed_fwd(base, rows01, cols01, tile_lo, band, tile)
 
 
-def _warp_bilinear_fwd(base, rows01, cols01, tile_lo, band, tile,
-                       use_pallas):
-    out = _warp_bilinear(base, rows01, cols01, tile_lo, band, tile,
-                         use_pallas)
+def _warp_bilinear_fwd(base, rows01, cols01, tile_lo, band, tile):
+    out = _warp_bilinear(base, rows01, cols01, tile_lo, band, tile)
     return out, (base.shape, rows01, cols01, tile_lo)
 
 
@@ -670,18 +801,14 @@ def _splat_windowed(ct, rows01, cols01, tile_lo, band, tile, Hb, Wb):
                            preferred_element_type=jnp.float32)
         return carry, splat * lo[2].astype(jnp.float32)
 
-    _, tiles = jax.lax.scan(body, (), (tile_lo, tro, tco), unroll=4)
+    _, tiles = jax.lax.scan(body, (), (tile_lo, tro, tco),
+                            unroll=_WARP_UNROLL)
     out = tiles.reshape(nty, ntx, tile, tile, C)
     return jnp.moveaxis(out, 1, 2).reshape(Hb, Wb, C)
 
 
-def _warp_bilinear_bwd(band, tile, use_pallas, res, ct):
+def _warp_bilinear_bwd(band, tile, res, ct):
     (Hb, Wb, C), rows01, cols01, tile_lo = res
-    if use_pallas:
-        dbase = _pallas_warp_bwd(ct, rows01, cols01, tile_lo, band,
-                                 Hb, Wb)
-        return (dbase, jnp.zeros_like(rows01), jnp.zeros_like(cols01),
-                np.zeros(tile_lo.shape, dtype=jax.dtypes.float0))
     out = _splat_windowed(ct, rows01, cols01, tile_lo, band, tile, Hb, Wb)
     return (out, jnp.zeros_like(rows01), jnp.zeros_like(cols01),
             np.zeros(tile_lo.shape, dtype=jax.dtypes.float0))
@@ -719,37 +846,26 @@ _warp_bilinear.defvjp(_warp_bilinear_fwd, _warp_bilinear_bwd)
 def warp_base_to_pixels(base_img, plan: SweepPlan, miss=None,
                         pallas: Optional[bool] = None):
     """Resample base-grid maps to the actual camera pixels (bilinear,
-    scatter-free custom VJP; fused Pallas kernels on TPU).
+    scatter-free custom VJP, windowed-matmul scan in plain XLA).
 
     The base grid is clipped to the box's slope footprint (plan_sweep), so
     pixels mapping outside it are guaranteed box misses: they get the
     per-channel `miss` value instead of clamped edge samples.
-    pallas: None = auto, which resolves to the XLA windowed-matmul path
-    on every backend — measured FASTER than the Pallas warp kernels at
-    1080p (fwd ~5 vs 58 ms; bwd ~4 vs 64 ms on v5e); True forces the
-    Pallas kernels (kept for comparison)."""
+    pallas: accepted for API stability; the hand-written Pallas warp lost
+    its round-3 A/B by ~8x (PROFILE_r3.json warp_ab) and was removed, so
+    True now raises."""
     if plan.identity_warp:
         return base_img
     squeeze = base_img.ndim == 2
     if squeeze:
         base_img = base_img[..., None]
-    if pallas is None:
-        pallas = False
-    elif pallas:
-        # forced Pallas path: keep the kernels' static gate (VMEM fit +
-        # tile divisibility) so failures are a clear error, not an opaque
-        # Mosaic one
-        from ..kernels.warp_pallas import supported as wp_supported
-        H, W = plan.warp_rows01.shape
-        if not wp_supported(plan.warp_band, (H, W, base_img.shape[-1]),
-                            plan.base_shape):
-            raise NotImplementedError(
-                "pallas warp kernels do not support this configuration "
-                "(pixel image must fit VMEM; base dims must divide the "
-                "warp tile)")
+    if pallas:
+        raise NotImplementedError(
+            "the Pallas warp kernels were removed in round 4 after losing "
+            "their A/B by ~8x (58 vs 7 ms fwd at 1080p, PROFILE_r3.json "
+            "warp_ab); the XLA windowed-matmul path is the only warp")
     out = _warp_bilinear(base_img, plan.warp_rows01, plan.warp_cols01,
-                         plan.warp_tile_lo, plan.warp_band, plan.warp_blk,
-                         bool(pallas))
+                         plan.warp_tile_lo, plan.warp_band, plan.warp_blk)
     if miss is not None:
         inr = (_in01(plan.warp_rows01) & _in01(plan.warp_cols01))[..., None]
         out = jnp.where(inr, out, jnp.asarray(miss, out.dtype))

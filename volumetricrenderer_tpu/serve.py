@@ -1,0 +1,394 @@
+"""Live interactive rendering — the reference's defining behavior
+(TestMain.cpp:173-256: a 60 fps loop where WASD/QE keys and the mouse
+mutate the camera/MVP and the media scroll advances every frame) as a
+TPU-native service.
+
+A native window/swapchain does not exist on a headless TPU host, so the
+present side is HTTP: `volumetricrenderer_tpu serve` runs a small stdlib
+HTTP server whose index page captures key events (WASD/QE/RF — the
+reference's bindings, Core/Keyboard.h analogue) and streams freshly
+rendered frames; the render side is the SAME cached-executable plan
+machinery the animate loop uses (cli.animation_plans): camera state maps
+to a sweep plan whose signature is pre-unified over the reachable orbit
+family, so every interaction re-renders through ONE compiled executable
+instead of recompiling (the Vulkan analogue would be rebuilding the
+pipeline per frame).
+
+Controls (index page):
+  A/D   orbit azimuth     W/S   dolly in/out
+  Q/E   orbit elevation   R/F   media time scrub
+  space play/pause the media clock
+
+State lives server-side (one renderer, many viewers see the same scene,
+like the reference's single window); rendering is serialized by a lock
+(one TPU, one stream).
+"""
+from __future__ import annotations
+
+import io
+import json
+import math
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["InteractiveRenderer", "serve", "INDEX_HTML"]
+
+# Orbit state limits: elevation away from the poles keeps a sweep axis
+# well-defined; distance keeps the box in front of the camera.
+_EL_LIM = 1.25
+_DIST_MIN, _DIST_MAX = 1.6, 6.0
+
+_AZ_STEP = 0.12
+_EL_STEP = 0.08
+_DOLLY = 1.08
+_TIME_STEP = 0.25
+
+
+class InteractiveRenderer:
+    """Camera/clock state + cached-executable rendering for the live loop.
+
+    Plans are built per frame (host-side geometry, cheap) but share jit
+    executables: base dims, warp band and row window are unified up front
+    by probing the reachable (azimuth, elevation, distance) family —
+    exactly what cli.animation_plans does for a fixed orbit path,
+    extended to the interactive state box."""
+
+    def __init__(self, preset, probe: int = 6):
+        import jax
+
+        from .config import Preset
+        from .models.scene import build_volume
+        from .render import prepare_baked_scene, render_image
+        from .utils.metrics import get_logger
+
+        self.log = get_logger()
+        self.preset: Preset = preset
+        self.cfg = preset.render
+        self.light = preset.light
+        medium = preset.medium
+        if preset.scene:
+            from .models import scene as scene_mod
+            volumes = getattr(scene_mod, preset.scene)(preset.volume.size)
+            grid, medium, _ = prepare_baked_scene(volumes, self.cfg, medium)
+        else:
+            grid = build_volume(preset.volume)
+        self.grid = grid
+        self.medium = medium
+        self.n_ch = grid.shape[-1] if grid.ndim == 4 else 1
+
+        # --- interaction state (the reference's Camera + Clock) ---
+        # World up is +Z (TestMain.cpp:225): orbit = spherical coords
+        # around the preset's look-at center.
+        center = np.asarray(preset.camera.center, np.float64)
+        eye = np.asarray(preset.camera.eye, np.float64) - center
+        self.dist = float(np.linalg.norm(eye))
+        self.dist = min(max(self.dist, _DIST_MIN), _DIST_MAX)
+        self.azim = math.atan2(eye[1], eye[0])
+        self.elev = math.atan2(eye[2], math.hypot(eye[0], eye[1]))
+        self.elev = min(max(self.elev, -_EL_LIM), _EL_LIM)
+        self.media_t = 0.0
+        self.playing = True
+        self._last_tick = time.perf_counter()
+        self.lock = threading.Lock()
+        self.frames_rendered = 0
+        from .ops.camera import look_at_camera
+        self._look_at = look_at_camera
+        self._render_image = render_image
+
+        # --- executable-stable plan family over the reachable states ---
+        import itertools
+
+        from .ops.sweep import plan_base_dims, plan_sweep
+        self._plan_sweep = plan_sweep
+        cam_cfg = preset.camera
+        azs = [2 * math.pi * i / probe for i in range(probe)]
+        els = [-_EL_LIM, -0.6, 0.0, 0.6, _EL_LIM]
+        dists = [_DIST_MIN, self.dist, _DIST_MAX]
+        fh = fw = 128
+        for az, el, d in itertools.product(azs, els, dists):
+            cam = self._camera_at(az, el, d)
+            try:
+                hb, wb, _, _ = plan_base_dims(
+                    cam, grid.shape[:3], self.cfg,
+                    supersample=self.cfg.sweep_supersample)
+            except ValueError:
+                continue  # a pole-adjacent probe without a sweep axis
+            fh, fw = max(fh, hb), max(fw, wb)
+        self.force_dims = (fh, fw)
+        # Unify band/row-window by building the probe plans at the forced
+        # dims (plan arrays are cheap; executables are what matter).
+        band = (1, 1)
+        rw = cw = sw = None
+        for az, el, d in itertools.product(azs, els, dists):
+            try:
+                p = self._plan_at(az, el, d, band=None, rw=None)
+            except ValueError:
+                continue
+            band = (max(band[0], p.warp_band[0]),
+                    max(band[1], p.warp_band[1]))
+            rw = p.row_window if rw is None else (
+                0 if 0 in (rw, p.row_window) else max(rw, p.row_window))
+            cw = p.col_window if cw is None else (
+                0 if 0 in (cw, p.col_window) else max(cw, p.col_window))
+            sw = p.scatter_window if sw is None else (
+                0 if 0 in (sw, p.scatter_window)
+                else max(sw, p.scatter_window))
+        # The probe grid cannot hit every reachable state; pad the band
+        # 25% and quantize to 16 so in-between cameras still fall under
+        # the unified (>= is exact) band instead of minting a new
+        # executable per slightly-different rect.
+        cc = preset.camera
+
+        def pad16(x, lim):
+            return min(-(-int(x * 1.25) // 16) * 16, lim)
+
+        self.band = (pad16(band[0], cc.height), pad16(band[1], cc.width))
+        self.row_window = rw or 0
+        self.col_window = cw or 0
+        self.scatter_window = sw or 0
+        self.log.info("serve: base dims %s, band %s, row_window %d",
+                      self.force_dims, self.band, self.row_window)
+
+        self._jit_frame = None
+        self._signatures = set()
+        self._jax = jax
+
+    # -- camera/plan plumbing ------------------------------------------
+    def _camera_at(self, az, el, d):
+        cc = self.preset.camera
+        center = np.asarray(cc.center, np.float32)
+        eye = center + d * np.asarray(
+            [math.cos(el) * math.cos(az), math.cos(el) * math.sin(az),
+             math.sin(el)], np.float32)
+        return self._look_at(eye, center, np.asarray(cc.up, np.float32),
+                             cc.fov_y_degrees, cc.width, cc.height)
+
+    def _plan_at(self, az, el, d, band, rw):
+        cam = self._camera_at(az, el, d)
+        plan = self._plan_sweep(
+            cam, self.grid.shape[:3], self.cfg,
+            supersample=self.cfg.sweep_supersample,
+            force_base_dims=self.force_dims,
+            min_warp_band=band)
+        if rw is not None:
+            import dataclasses
+
+            def unify(mine, theirs):
+                return 0 if 0 in (mine, theirs) else max(mine, theirs)
+
+            plan = dataclasses.replace(
+                plan,
+                row_window=unify(rw, plan.row_window),
+                col_window=unify(self.col_window, plan.col_window),
+                scatter_window=unify(self.scatter_window,
+                                     plan.scatter_window))
+        return plan
+
+    # -- input (the reference's Keyboard handler) ----------------------
+    def key(self, k: str):
+        with self.lock:
+            if k == "a":
+                self.azim -= _AZ_STEP
+            elif k == "d":
+                self.azim += _AZ_STEP
+            elif k == "q":
+                self.elev = max(self.elev - _EL_STEP, -_EL_LIM)
+            elif k == "e":
+                self.elev = min(self.elev + _EL_STEP, _EL_LIM)
+            elif k == "w":
+                self.dist = max(self.dist / _DOLLY, _DIST_MIN)
+            elif k == "s":
+                self.dist = min(self.dist * _DOLLY, _DIST_MAX)
+            elif k == "r":
+                self.media_t += _TIME_STEP
+            elif k == "f":
+                self.media_t = max(self.media_t - _TIME_STEP, 0.0)
+            elif k == " ":
+                self.playing = not self.playing
+            return self.state()
+
+    def state(self):
+        return {"azim": round(self.azim, 3), "elev": round(self.elev, 3),
+                "dist": round(self.dist, 3), "t": round(self.media_t, 3),
+                "playing": self.playing,
+                "frames": self.frames_rendered}
+
+    # -- the frame loop body (TestMain.cpp:226-244 analogue) -----------
+    def render_frame(self) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        with self.lock:
+            now = time.perf_counter()
+            if self.playing:
+                self.media_t += now - self._last_tick
+            self._last_tick = now
+            az, el, d, t = self.azim, self.elev, self.dist, self.media_t
+        plan = self._plan_at(az, el, d, self.band, self.row_window)
+        scroll = None
+        if self.medium.combine == "reference":
+            from .ops.integrate import reference_media_scroll
+            scroll = reference_media_scroll(t, n_channels=self.n_ch)
+        if self._jit_frame is None:
+            cfg, medium, light = self.cfg, self.medium, self.light
+            use_shadow = (light is not None and light.shadow_steps > 0
+                          and cfg.emission)
+            render_image = self._render_image
+
+            @jax.jit
+            def frame_fn(g, plan, scroll):
+                lv = None
+                if use_shadow:
+                    from .ops.lighting import light_transmittance_volume
+                    lv = light_transmittance_volume(g, light, cfg, medium,
+                                                    scroll=scroll)
+                return render_image(g, None, cfg, medium, light,
+                                    scroll=scroll, plan=plan,
+                                    light_volume=lv, backend="sweep")
+
+            self._jit_frame = frame_fn
+        img = jax.block_until_ready(self._jit_frame(self.grid, plan,
+                                                    scroll))
+        from .ops.sweep import plan_signature
+        sig = plan_signature(plan)
+        if sig not in self._signatures:
+            self._signatures.add(sig)
+            self.log.info("serve: compiled executable %d (sig %s)",
+                          len(self._signatures), sig)
+        self.frames_rendered += 1
+        return np.asarray(img)
+
+
+INDEX_HTML = """<!doctype html>
+<html><head><title>volumetricrenderer_tpu — live</title><style>
+body{margin:0;background:#111;color:#ddd;font:13px monospace;
+     display:flex;flex-direction:column;align-items:center}
+img{image-rendering:auto;margin-top:8px;max-width:96vw}
+#hud{padding:6px}
+</style></head><body>
+<div id="hud">A/D orbit &nbsp; Q/E elevate &nbsp; W/S dolly &nbsp;
+R/F time &nbsp; space pause — <span id="st"></span></div>
+<img id="v" src="/frame.png">
+<script>
+const img = document.getElementById('v'), st = document.getElementById('st');
+let frames = 0, t0 = performance.now();
+img.onload = () => {            // continuous streaming: re-request on load
+  frames++;
+  if (frames % 10 === 0) {
+    const fps = 10000 / (performance.now() - t0); t0 = performance.now();
+    st.textContent = fps.toFixed(1) + ' fps';
+  }
+  img.src = '/frame.png?' + Date.now();
+};
+img.onerror = () => setTimeout(() => img.src = '/frame.png?' + Date.now(), 500);
+window.addEventListener('keydown', e => {
+  const k = e.key === ' ' ? 'space' : e.key.toLowerCase();
+  if ('adqwesrf'.includes(k) || k === 'space')
+    fetch('/key?k=' + k).catch(()=>{});
+});
+</script></body></html>"""
+
+
+def _make_handler(renderer: InteractiveRenderer, render_lock):
+    from .utils.image import encode_png
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, ctype, body):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            try:
+                if self.path.startswith("/frame.png"):
+                    with render_lock:  # one chip, one render at a time
+                        img = renderer.render_frame()
+                    png = encode_png(img)
+                    self._send(200, "image/png", png)
+                elif self.path.startswith("/key"):
+                    from urllib.parse import parse_qs, urlparse
+                    q = parse_qs(urlparse(self.path).query)
+                    k = q.get("k", [""])[0]
+                    state = renderer.key(" " if k == "space" else k)
+                    self._send(200, "application/json",
+                               json.dumps(state).encode())
+                elif self.path.startswith("/state"):
+                    self._send(200, "application/json",
+                               json.dumps(renderer.state()).encode())
+                else:
+                    self._send(200, "text/html", INDEX_HTML.encode())
+            except BrokenPipeError:
+                pass
+
+    return Handler
+
+
+def serve(preset, port: int = 8788, frames: Optional[int] = None):
+    """Run the live loop. frames=N: self-drive mode — issue synthetic key
+    events and fetch N frames through the real HTTP stack, report fps,
+    then exit (the headless CI/evidence mode; INTERACTIVE_r4.json)."""
+    renderer = InteractiveRenderer(preset)
+    render_lock = threading.Lock()
+    httpd = ThreadingHTTPServer(("0.0.0.0", port),
+                                _make_handler(renderer, render_lock))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    renderer.log.info("serving live renderer on http://localhost:%d", port)
+    if frames is None:
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.shutdown()
+        return None
+
+    # --- self-drive evidence mode ---
+    import urllib.request
+
+    keys = "adqwesrf"
+    url = f"http://localhost:{port}"
+    sizes = []
+    t_first = time.perf_counter()
+    urllib.request.urlopen(f"{url}/frame.png", timeout=600).read()
+    compile_s = time.perf_counter() - t_first
+    t0 = time.perf_counter()
+    for i in range(frames):
+        urllib.request.urlopen(
+            f"{url}/key?k={keys[i % len(keys)]}", timeout=60).read()
+        png = urllib.request.urlopen(f"{url}/frame.png", timeout=600).read()
+        sizes.append(len(png))
+    dt = time.perf_counter() - t0
+    state = json.loads(urllib.request.urlopen(
+        f"{url}/state", timeout=60).read())
+    httpd.shutdown()
+    result = {
+        "what": "live interactive loop: HTTP key events mutate orbit "
+                "camera + media clock; every frame re-renders through "
+                "cached executables (TestMain.cpp:173-256 analogue)",
+        "preset": renderer.preset.name,
+        "width": renderer.preset.camera.width,
+        "height": renderer.preset.camera.height,
+        "frames": frames,
+        "fps": round(frames / dt, 2),
+        "ms_per_frame": round(dt / frames * 1e3, 1),
+        "first_frame_compile_s": round(compile_s, 1),
+        "n_executables": len(renderer._signatures),
+        "final_state": state,
+        "png_bytes_mean": int(np.mean(sizes)),
+    }
+    renderer.log.info("self-drive: %.1f fps over %d frames, "
+                      "%d executable(s)", result["fps"], frames,
+                      result["n_executables"])
+    return result

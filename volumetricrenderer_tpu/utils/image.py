@@ -10,7 +10,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["to_uint8", "write_png", "write_ppm"]
+__all__ = ["to_uint8", "encode_png", "write_png", "write_ppm"]
 
 
 def to_uint8(img):
@@ -29,9 +29,10 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path, img):
-    """Write an image to PNG. img: uint8 or float (H, W) / (H, W, C) with
-    C in {1, 3, 4}."""
+def encode_png(img, level: int = 6) -> bytes:
+    """Encode an image to PNG bytes. img: uint8 or float (H, W) /
+    (H, W, C) with C in {1, 3, 4}. level: zlib compression (the live
+    serve mode uses a low level — encode latency is frame latency)."""
     arr = np.asarray(img)
     if arr.dtype != np.uint8:
         arr = to_uint8(arr)
@@ -42,14 +43,19 @@ def write_png(path, img):
 
     raw = b"".join(b"\x00" + arr[row].tobytes() for row in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    data = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def write_png(path, img):
+    """Write an image to PNG. img: uint8 or float (H, W) / (H, W, C) with
+    C in {1, 3, 4}."""
     with open(path, "wb") as f:
-        f.write(data)
+        f.write(encode_png(img))
     return path
 
 
@@ -92,11 +98,21 @@ class AsyncFrameWriter:
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
+    def __exit__(self, exc_type, exc_val, exc_tb):
         errs = [f.exception() for f in self._pending]
         self._pool.shutdown(wait=True)
         self._pending.clear()
+        # A failure in the with-body (e.g. a mid-animation render error)
+        # is the primary error: never mask it with a secondary disk
+        # error — log writer failures and let the body's exception
+        # propagate; raise them only on a clean exit.
         for e in errs:
             if e is not None:
+                if exc_val is not None:
+                    from .metrics import get_logger
+                    get_logger().error(
+                        "pending frame write also failed: %s: %s",
+                        type(e).__name__, e)
+                    return False
                 raise e
         return False
