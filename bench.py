@@ -25,9 +25,11 @@ tunnel-weather-dominated — VERDICT r2 item 1):
     dispatch_overhead_ms and subtracted from the per-frame time;
   * the pallas-vs-jnp A/B runs inside the same process on the same day
     (pallas_vs_jnp = jnp_ms / pallas_ms);
-  * early-exit is probed on a DENSE medium variant where rays saturate,
-    reporting the gate's measured saving (early exit is this framework's
-    capability beyond frag.glsl:57-75, which has none).
+  * early-exit saturation RATES are reported on a dense medium variant;
+    the gated-vs-ungated timing phases were retired in round 4 after
+    three rounds measured the gate at 0 +- 1% (cause understood and
+    documented in kernels/sweep_pallas.py — the gate is semantic parity
+    with the oracle's termination, not a TPU throughput feature).
 """
 from __future__ import annotations
 
@@ -54,7 +56,6 @@ WIDTH = int(os.environ.get("VOLT_BENCH_WIDTH", 1920))
 HEIGHT = int(os.environ.get("VOLT_BENCH_HEIGHT", 1080))
 FRAMES = int(os.environ.get("VOLT_BENCH_FRAMES", 32))  # per dispatch
 ITERS = int(os.environ.get("VOLT_BENCH_ITERS", 3))
-DENSE_FRAMES = int(os.environ.get("VOLT_BENCH_DENSE_FRAMES", 8))
 
 # MXU peak of the detected chip. TPU f32 matmuls run on the bf16 MXU
 # (jax default precision truncates to bf16 passes), so the bf16 peak is
@@ -203,23 +204,14 @@ def main():
         log(f"bf16 phase failed: {type(e).__name__}: {e}")
         per_frame_bf16 = float("nan")
 
-    # --- Early exit probed where it matters: a dense medium saturates
-    # rays, so the gate can skip real work (the reference cannot:
-    # frag.glsl:57-75 has no cutoff).
+    # --- Early-exit rates only (fraction of base pixels saturated at
+    # frame end). The gated-vs-ungated dense TIMING phases were retired
+    # in round 4 (VERDICT r3 weak 7): three rounds measured the gate at
+    # 0 +- 1% frame time — cause understood and documented in the kernel
+    # header (a block spans a full base strip whose miss pixels never
+    # saturate, so block-level skipping cannot fire on TPU SIMD); the
+    # gate remains as semantic parity with the oracle's termination.
     dense_medium = dataclasses.replace(medium, density=200.0)
-    cfg_nogate = dataclasses.replace(cfg, early_stop_transmittance=-1.0)
-    try:
-        dense_gated = time_k_frames(
-            make_fwdbwd(plan, cfg, dense_medium, None, DENSE_FRAMES), grid,
-            DENSE_FRAMES, 2, null_s, "dense gated")
-        dense_ungated = time_k_frames(
-            make_fwdbwd(plan, cfg_nogate, dense_medium, None, DENSE_FRAMES),
-            grid, DENSE_FRAMES, 2, null_s, "dense ungated")
-    except Exception as e:
-        log(f"dense phase failed: {type(e).__name__}: {e}")
-        dense_gated = dense_ungated = float("nan")
-
-    # Early-exit rates (fraction of base pixels saturated at frame end).
     from volumetricrenderer_tpu.ops.sweep import _sweep_base
 
     @jax.jit
@@ -239,13 +231,19 @@ def main():
         log(f"exit-rate phase failed: {type(e).__name__}: {e}")
         rate_flagship = rate_dense = float("nan")
 
-    # --- MFU accounting (dense matmul FLOPs actually issued vs the
-    # detected chip's MXU peak; useful = the 2-tap bilinear work those
-    # banded matrices encode).
+    # --- MFU accounting (matmul FLOPs actually issued vs the detected
+    # chip's MXU peak; useful = the 2-tap bilinear work those banded
+    # matrices encode). Round 4: the kernels window the row resample and
+    # the backward column scatter, so the issued-flop count uses the
+    # plan's windows (r3 issued the full dense forms).
     Hb, Wb = plan.base_shape
     S = plan.slice_z.shape[0]
     A = VOLUME
-    dense = 2.0 * S * Hb * A * (3.0 * A + Wb)
+    A_eff = plan.row_window or A          # row-matmul contraction
+    sc_eff = ((plan.scatter_window * (A // 128) * 128)
+              if plan.scatter_window else Wb * A)  # bwd scatter work/row
+    # fwd t + bwd t-recompute + dG (contraction A_eff each) + scatter
+    dense = 2.0 * S * Hb * (3.0 * A_eff * A + sc_eff)
     useful = 2.0 * (4.0 * S * Hb * A + 4.0 * S * Hb * Wb) \
         + 16.0 * S * Hb * Wb
     mfu = dense / per_frame / peak
@@ -275,10 +273,8 @@ def main():
         "device": kind,
         "early_exit_rate_flagship": r(rate_flagship, 4),
         "early_exit_rate_dense": r(rate_dense, 4),
-        "dense_scene_ms_gated": r(dense_gated * 1e3),
-        "dense_scene_ms_ungated": r(dense_ungated * 1e3),
-        "early_exit_saving_pct": r(
-            100.0 * (1.0 - dense_gated / dense_ungated), 1),
+        "row_window": int(plan.row_window),
+        "scatter_window": int(plan.scatter_window),
         "base_shape": [int(Hb), int(Wb)],
         "bench_total_s": round(time.perf_counter() - t_start, 1),
     }))

@@ -33,8 +33,8 @@ def _free_port():
 
 def test_interactive_renderer_state_and_frames():
     r = InteractiveRenderer(_small_preset(), probe=4)
-    f0 = r.render_frame()
-    assert f0.shape == (48, 64, 4) and np.isfinite(f0).all()
+    f0 = r.render_frame().astype(np.int32)  # uint8 RGBA (present format)
+    assert f0.shape == (48, 64, 4)
     st0 = dict(r.state())
     r.key("a")
     r.key("w")
@@ -43,9 +43,9 @@ def test_interactive_renderer_state_and_frames():
     assert st1["azim"] != st0["azim"]
     assert st1["dist"] < st0["dist"]
     assert st1["t"] > st0["t"]
-    f1 = r.render_frame()
+    f1 = r.render_frame().astype(np.int32)
     # the camera moved: the image must actually change
-    assert np.abs(f1 - f0).max() > 1e-4
+    assert np.abs(f1 - f0).max() > 0
     # executables are shared across interactions (compile-stable plans):
     # one per (axis, sign) family the path crosses, not one per frame
     for k in "adqeadqe":

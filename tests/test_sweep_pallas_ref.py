@@ -107,3 +107,55 @@ def test_reference_preset_end_to_end_pallas():
     b = finish_image(gperm_maps, plan, cfg, medium, pallas_warp=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_reference_combine_light_volume_parity():
+    """Round 4 (VERDICT r3 item 7): a shadowed reference-combine scene
+    runs through the fused kernels (light-transmittance shading at
+    unscaled coords) instead of silently falling back to the jnp sweep.
+    Forward + voxel AND light gradients vs the jnp sweep."""
+    from volumetricrenderer_tpu.config import LightConfig
+    from volumetricrenderer_tpu.ops.lighting import \
+        light_transmittance_volume
+    cfg = RenderConfig(emission=True, quadrature="sliced",
+                       address_mode="mirror")
+    medium = MediumConfig(combine="reference", density=8.0)
+    light = LightConfig(ambient=0.2, shadow_steps=32)
+    cam = make_camera(CameraConfig(eye=(3.0, 0.4, 0.3), width=96,
+                                   height=64))
+    rng = np.random.default_rng(0)
+    grid = jnp.asarray(rng.uniform(0.2, 1.0, (D, D, D, 4)), jnp.float32)
+    scroll = reference_media_scroll(0.7)
+    plan = plan_sweep(cam, grid.shape, cfg)
+    lvol = light_transmittance_volume(grid, light, cfg, medium,
+                                      scroll=scroll)
+    assert sp.supported(plan, cfg, medium, lvol, scroll, 4, D)
+    gperm = jnp.transpose(grid, plan.perm + (3,))
+    lperm = jnp.transpose(lvol, plan.perm)
+
+    ref = _sweep_base(gperm, lperm, plan.slice_z, plan.v_grid,
+                      plan.u_grid, plan.seglen, plan, cfg, medium, light,
+                      scroll)
+    got = sp.sweep_base_pallas(gperm, plan, cfg, medium, light,
+                               lperm=lperm, scroll=scroll, interpret=True)
+    for x, y, n in zip(ref, got, ("acc", "trans", "wsum", "hit")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-5, err_msg=n)
+
+    def loss_p(g, l):
+        m = sp.sweep_base_pallas(g, plan, cfg, medium, light, lperm=l,
+                                 scroll=scroll, interpret=True)
+        return jnp.sum(m[1]) + jnp.sum(m[2] ** 2)
+
+    def loss_j(g, l):
+        m = _sweep_base(g, l, plan.slice_z, plan.v_grid, plan.u_grid,
+                        plan.seglen, plan, cfg, medium, light, scroll)
+        return jnp.sum(m[1]) + jnp.sum(m[2] ** 2)
+
+    g1, l1 = jax.grad(loss_p, argnums=(0, 1))(gperm, lperm)
+    g2, l2 = jax.grad(loss_j, argnums=(0, 1))(gperm, lperm)
+    for got_g, ref_g, name in ((g1, g2, "dgrid"), (l1, l2, "dlight")):
+        scale = float(jnp.abs(ref_g).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                                   rtol=2e-4, atol=2e-4 * scale,
+                                   err_msg=name)

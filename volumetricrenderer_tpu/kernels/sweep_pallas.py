@@ -186,11 +186,13 @@ def supported(plan, cfg: RenderConfig, medium: MediumConfig,
     if medium.combine == "reference":
         # The "reference" preset's 4-channel combine with per-channel
         # coordinate scale + scroll (frag.glsl:63-71), mirror addressing
-        # as the Vulkan sampler (VulkanCore.cpp:683-685).
+        # as the Vulkan sampler (VulkanCore.cpp:683-685). Round 4: a
+        # light-transmittance volume is shaded in-kernel at unscaled
+        # coords (was the last silent jnp fallback in this gate).
         return (common
                 and cfg.dtype in ("float32", "bfloat16")
                 and grid_ndim == 4
-                and light_volume is None
+                and light_ok
                 and cfg.address_mode == "mirror")
     # bf16 single-channel: grid + row matrices stream in bf16 (2x MXU
     # rate, half the bandwidth — the reference stores 8-bit unorm
@@ -234,20 +236,21 @@ def _lane_gather(t, idx_row, n_pieces):
     return out
 
 
-def _lane_gather_win(t, idx_row, qoff, win_pieces):
-    """_lane_gather over a DYNAMIC window of `win_pieces` 128-lane source
-    tiles starting at tile qoff (traced, clipped in the caller): the
-    monotone column taps of one output chunk span only O(B/(Wb/128))
-    source columns, so at B >= 512 two dynamic pieces replace B/128
-    static ones (round 4). Taps outside the window produce 0 — the
-    caller multiplies by the in-box mask, and plan_sweep's host bound
-    (_col_window_elems) guarantees every IN-BOX tap lands inside."""
-    idx = jnp.broadcast_to(idx_row[None, :], (t.shape[0], LANES))
-    out = jnp.zeros((t.shape[0], LANES), jnp.float32)
-    base = pl.multiple_of(qoff * LANES, LANES)
+def _lane_gather_win(tw, base, idx_row, win_pieces):
+    """_lane_gather over a window `tw` of `win_pieces` 128-lane source
+    tiles whose absolute lane origin is `base` (traced): the monotone
+    column taps of one output chunk span only O(B/(Wb/128)) source
+    columns, so at B >= 512 two dynamic pieces replace B/128 static ones
+    (round 4). Taps outside the window produce 0 — the caller multiplies
+    by the in-box mask, and plan_sweep's host bound (_col_window_elems)
+    guarantees every IN-BOX tap lands inside. The window itself is a
+    dynamic REF load in the caller: Mosaic lowers lane-dynamic ref loads
+    but NOT lane-dynamic dynamic_slice of values (measured on chip)."""
+    idx = jnp.broadcast_to(idx_row[None, :], (tw.shape[0], LANES))
+    out = jnp.zeros((tw.shape[0], LANES), jnp.float32)
     for d in range(win_pieces):
         off = base + d * LANES
-        tp = jax.lax.dynamic_slice(t, (0, off), (t.shape[0], LANES))
+        tp = tw[:, d * LANES:(d + 1) * LANES]
         local = jnp.clip(idx - off, 0, LANES - 1)
         gp = jnp.take_along_axis(tp, local, axis=1)
         inp = (idx >= off) & (idx < off + LANES)
@@ -255,13 +258,17 @@ def _lane_gather_win(t, idx_row, qoff, win_pieces):
     return out
 
 
-def _gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces, win_pieces=0):
+def _gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces, win_pieces=0,
+                 ts_ref=None):
     """Two-tap linear gather along columns: out[r, j] =
     (1-fb_j) t[r, i0_j] + fb_j t[r, i1_j], computed in 128-lane chunks.
     win_pieces > 0 (and < n_pieces) switches each chunk to the dynamic
-    windowed decomposition (_lane_gather_win); the window offset is
-    derived from the SAME i0 the taps use, masked to in-box lanes."""
-    windowed = 0 < win_pieces < n_pieces
+    windowed decomposition: t is staged into the ts_ref VMEM scratch and
+    each chunk ref-loads only its window (the offset derives from the
+    SAME i0 the taps use, masked to in-box lanes)."""
+    windowed = 0 < win_pieces < n_pieces and ts_ref is not None
+    if windowed:
+        ts_ref[:] = t
     chunks = []
     for q in range(Wb_n // LANES):
         sl = slice(q * LANES, (q + 1) * LANES)
@@ -269,8 +276,10 @@ def _gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces, win_pieces=0):
             lo_q = jnp.min(jnp.where(b_in[sl] > 0.0, i0[sl],
                                      n_pieces * LANES - 1))
             qoff = jnp.clip(lo_q // LANES, 0, n_pieces - win_pieces)
-            g0 = _lane_gather_win(t, i0[sl], qoff, win_pieces)
-            g1 = _lane_gather_win(t, i1[sl], qoff, win_pieces)
+            base = pl.multiple_of(qoff * LANES, LANES)
+            tw = ts_ref[:, pl.ds(base, win_pieces * LANES)]
+            g0 = _lane_gather_win(tw, base, i0[sl], win_pieces)
+            g1 = _lane_gather_win(tw, base, i1[sl], win_pieces)
         else:
             g0 = _lane_gather(t, i0[sl], n_pieces)
             g1 = _lane_gather(t, i1[sl], n_pieces)
@@ -307,6 +316,9 @@ def _col_taps(e_b, delta, ug_row, B, wrap=False):
 
 def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                 has_light, with_ckpt, wrap, n_win, cwin):
+    ts_s = None
+    if cwin:
+        refs, ts_s = refs[:-1], refs[-1]
     ng = max(n_win, 1)  # windowed: n_win granule refs; dense: 1 full ref
     i = 0
     g_refs = refs[i:i + ng]; i += ng
@@ -361,7 +373,7 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                                          wrap)
             Wb_n = ug_ref.shape[1]
             sigma = (_gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces,
-                                  cwin)
+                                  cwin, ts_s)
                      * b_in[None, :] * sscale)
 
             if has_light:
@@ -369,7 +381,7 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                                         preferred_element_type=jnp.float32),
                                 B)
                 lT = _gather_cols(tl, i0, i1, fb, b_in, Wb_n, n_pieces,
-                                  cwin)
+                                  cwin, ts_s)
                 shade = ambient + (1.0 - ambient) * jnp.clip(lT, 0.0, 1.0)
             else:
                 shade = 1.0
@@ -448,6 +460,8 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         grid=(n_rb, n_sc),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=([pltpu.VMEM((RB, max(B, LANES)), jnp.float32)]
+                        if cwin else []),
     )
     light_mul = 2 if has_light else 1
     return pl.pallas_call(
@@ -475,8 +489,11 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
 
 def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                 has_light, wrap, n_win, cwin, swin):
+    ts_s = None
+    if cwin:
+        refs, ts_s = refs[:-1], refs[-1]
     if swin:
-        refs, wbm_s, joff_s = refs[:-2], refs[-2], refs[-1]
+        refs, wbm_s, joff_s, mat_s = refs[:-3], refs[-3], refs[-2], refs[-1]
     else:
         refs, wbm_s = refs[:-1], refs[-1]
     i = 0
@@ -559,14 +576,14 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
             t = _pad_lanes(jnp.dot(wa_ref[c], vol_win(g_ref, c),
                                    preferred_element_type=jnp.float32), B)
             sigma = (_gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces,
-                                  cwin)
+                                  cwin, ts_s)
                      * b_in[None, :] * sscale)
             if has_light:
                 tl = _pad_lanes(jnp.dot(wa_ref[c], vol_win(l_ref, c),
                                         preferred_element_type=jnp.float32),
                                 B)
                 lT = _gather_cols(tl, i0, i1, fb, b_in, Wb_n, n_pieces,
-                                  cwin)
+                                  cwin, ts_s)
                 shade = ambient + (1.0 - ambient) * jnp.clip(lT, 0.0, 1.0)
             else:
                 shade = 1.0
@@ -607,9 +624,9 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
 
         @pl.when(rb == 0)
         def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
-            w0v = (1.0 - fb) * b_in
-            w1v = fb * b_in
             if not swin:
+                w0v = (1.0 - fb) * b_in
+                w1v = fb * b_in
                 wbm_s[c] = (jnp.where(cols == i0[:, None], w0v[:, None],
                                       0.0)
                             + jnp.where(cols == i1[:, None], w1v[:, None],
@@ -623,14 +640,16 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                 joff = jnp.clip(jlo // LANES, 0, Wb_n // LANES - swin)
                 joff_s[c, bt] = joff
                 joel = pl.multiple_of(joff * LANES, LANES)
-                i0w = jax.lax.dynamic_slice(i0[None, :], (0, joel),
-                                            (1, Wc))[0]
-                i1w = jax.lax.dynamic_slice(i1[None, :], (0, joel),
-                                            (1, Wc))[0]
-                w0w = jax.lax.dynamic_slice(w0v[None, :], (0, joel),
-                                            (1, Wc))[0]
-                w1w = jax.lax.dynamic_slice(w1v[None, :], (0, joel),
-                                            (1, Wc))[0]
+                # Windowed taps recomputed from a lane-dynamic REF load
+                # of the slope window (Mosaic lowers dynamic ref loads —
+                # even multi-tile — but NOT lane-dynamic dynamic_slice of
+                # VALUES; all probed on chip, r4). Same formula and
+                # inputs as the full-width taps -> identical values.
+                ugw = ug_ref[:, pl.ds(joel, Wc)][0]
+                i0w, i1w, fbw, b_inw = _col_taps(e_b, delta, ugw, B,
+                                                 wrap)
+                w0w = (1.0 - fbw) * b_inw
+                w1w = fbw * b_inw
                 colsw = blo + jax.lax.broadcasted_iota(
                     jnp.int32, (Wc, LANES), 1)
                 wbm_s[c, bt] = (
@@ -646,10 +665,11 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                 m = mat.astype(jnp.bfloat16) if low else mat
                 return jnp.dot(m, wbm_s[c],
                                preferred_element_type=jnp.float32)
+            mat_s[:] = mat  # stage: lane-dynamic windows are ref loads
             parts = []
             for bt in range(n_bt):
                 joel = pl.multiple_of(joff_s[c, bt] * LANES, LANES)
-                dsw = jax.lax.dynamic_slice(mat, (0, joel), (RB, Wc))
+                dsw = mat_s[:, pl.ds(joel, Wc)]
                 dsw = dsw.astype(jnp.bfloat16) if low else dsw
                 parts.append(jnp.dot(dsw, wbm_s[c, bt],
                                      preferred_element_type=jnp.float32))
@@ -715,9 +735,12 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
     if swin:
         scratch = [pltpu.VMEM((ch, B // LANES, swin * LANES, LANES),
                               gperm.dtype),
-                   pltpu.SMEM((ch, B // LANES), jnp.int32)]
+                   pltpu.SMEM((ch, B // LANES), jnp.int32),
+                   pltpu.VMEM((RB, Wb_n), jnp.float32)]
     else:
         scratch = [pltpu.VMEM((ch, Wb_n, B), gperm.dtype)]
+    if cwin:
+        scratch.append(pltpu.VMEM((RB, max(B, LANES)), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_sc, n_rb),
@@ -814,7 +837,8 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     illegal)."""
     if medium.combine == "reference":
         return sweep_base_pallas_ref(gperm, plan, cfg, medium, light,
-                                     scroll=scroll, interpret=interpret)
+                                     scroll=scroll, interpret=interpret,
+                                     lperm=lperm)
     lt = light if light is not None else LightConfig()
     params = _params_for(plan, cfg, medium, lt)
     kdt = cfg.jnp_dtype  # stream dtype: grid + row matrices (bf16-able)
@@ -1010,12 +1034,16 @@ def _col_taps_ref(e_b, delta, ug_row, B, sc, offb):
 
 
 def _fwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
-                    with_ckpt):
+                    with_ckpt, has_light):
     i = 0
     l_ref = refs[i]; i += 1          # (ch, NCH, A, B) lerped layers
     wa_ref = refs[i]; i += 1         # (ch, NCH, RB, A)
     ug_ref = refs[i]; i += 1
     seg_ref = refs[i]; i += 1
+    lv_ref = wal_ref = None
+    if has_light:
+        lv_ref = refs[i]; i += 1     # (ch, A, B) lerped light slabs
+        wal_ref = refs[i]; i += 1    # (ch, RB, A) unscaled row matrices
     acc_ref, trans_ref, wsum_ref, hit_ref = refs[i:i + 4]; i += 4
     tck_ref = wck_ref = None
     if with_ckpt:
@@ -1036,7 +1064,7 @@ def _fwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
 
     e_k, e_b = params_ref[0], params_ref[2]
     sign, density, sscale = params_ref[3], params_ref[4], params_ref[5]
-    thresh = params_ref[6]
+    thresh, ambient = params_ref[6], params_ref[7]
     B = l_ref.shape[3]
     n_pieces = max(1, B // LANES)
     Wb_n = ug_ref.shape[1]
@@ -1060,12 +1088,26 @@ def _fwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
                                       n_pieces))
             sigma = (r[0] * r[1]) * (r[2] + r[3]) * (sscale * b_in[None, :])
 
+            if has_light:
+                # Light-transmittance shading at UNSCALED coords (the
+                # shadow volume is not a scrolled noise channel) — same
+                # math as the single-channel kernels.
+                i0u, i1u, fbu, _b = _col_taps(e_b, delta, ug_ref[0, :],
+                                              B, False)
+                tl = _pad_lanes(jnp.dot(wal_ref[s], lv_ref[s],
+                                        preferred_element_type=jnp.float32),
+                                B)
+                lT = _gather_cols(tl, i0u, i1u, fbu, _b, Wb_n, n_pieces)
+                shade = ambient + (1.0 - ambient) * jnp.clip(lT, 0.0, 1.0)
+            else:
+                shade = 1.0
+
             if emission:
                 trans = trans_ref[:]
                 live = (trans > thresh).astype(jnp.float32)
                 alpha = live * (
                     1.0 - jnp.exp(-density * sigma * seg_ref[:]))
-                wsum_ref[:] = wsum_ref[:] + trans * alpha
+                wsum_ref[:] = wsum_ref[:] + trans * alpha * shade
                 trans_ref[:] = trans * (1.0 - alpha)
             else:
                 acc_ref[:] = acc_ref[:] + sigma * seg_ref[:]
@@ -1074,14 +1116,15 @@ def _fwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
                 hit_ref[:] = jnp.maximum(hit_ref[:], a_in * b_in[None, :])
 
 
-def _run_fwd_ref(lperm4, slice_z, wa_all, u_grid, seglen, params,
-                 emission, with_ckpt, interpret=False):
+def _run_fwd_ref(lperm4, lvperm, wal_all, slice_z, wa_all, u_grid,
+                 seglen, params, emission, with_ckpt, interpret=False):
     S, _, A, B = lperm4.shape
     Hb = wa_all.shape[2]
     Wb_n = u_grid.shape[0]
     n_rb = Hb // RB
     ch = math.gcd(CHUNK, S)
     n_sc = S // ch
+    has_light = lvperm is not None
 
     in_specs = [
         pl.BlockSpec((ch, NCH, A, B), lambda rb, sc, *_: (sc, 0, 0, 0),
@@ -1094,6 +1137,14 @@ def _run_fwd_ref(lperm4, slice_z, wa_all, u_grid, seglen, params,
                      memory_space=pltpu.VMEM),
     ]
     inputs = [lperm4, wa_all, u_grid.reshape(1, Wb_n), seglen]
+    if has_light:
+        in_specs += [
+            pl.BlockSpec((ch, A, B), lambda rb, sc, *_: (sc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ch, RB, A), lambda rb, sc, *_: (sc, rb, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [lvperm, wal_all]
 
     map_out = pl.BlockSpec((RB, Wb_n), lambda rb, sc, *_: (rb, 0),
                            memory_space=pltpu.VMEM)
@@ -1114,7 +1165,7 @@ def _run_fwd_ref(lperm4, slice_z, wa_all, u_grid, seglen, params,
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel_ref, emission=emission, ch=ch,
-                          with_ckpt=with_ckpt),
+                          with_ckpt=with_ckpt, has_light=has_light),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -1130,7 +1181,8 @@ def _run_fwd_ref(lperm4, slice_z, wa_all, u_grid, seglen, params,
     )(slice_z, params, *inputs)
 
 
-def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch):
+def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
+                    has_light):
     i = 0
     l_ref = refs[i]; i += 1
     wa_ref = refs[i]; i += 1
@@ -1143,7 +1195,13 @@ def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch):
         wck_ref = refs[i]; i += 1
     else:
         ctacc_ref = refs[i]; i += 1
-    dl_ref = refs[i]
+    lv_ref = wal_ref = dlv_ref = None
+    if has_light:
+        lv_ref = refs[i]; i += 1
+        wal_ref = refs[i]; i += 1
+    dl_ref = refs[i]; i += 1
+    if has_light:
+        dlv_ref = refs[i]
 
     sc_i = pl.program_id(0)
     rb = pl.program_id(1)
@@ -1151,10 +1209,12 @@ def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch):
     @pl.when(rb == 0)
     def _():
         dl_ref[:] = jnp.zeros(dl_ref.shape, jnp.float32)
+        if has_light:
+            dlv_ref[:] = jnp.zeros(dlv_ref.shape, jnp.float32)
 
     e_k, e_b = params_ref[0], params_ref[2]
     sign, density, sscale = params_ref[3], params_ref[4], params_ref[5]
-    thresh = params_ref[6]
+    thresh, ambient = params_ref[6], params_ref[7]
     B = l_ref.shape[3]
     Wb_n = ug_ref.shape[1]
     n_pieces = max(1, B // LANES)
@@ -1188,13 +1248,30 @@ def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch):
             r.append(_gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces))
         sigma = (r[0] * r[1]) * (r[2] + r[3]) * (sscale * b_in[None, :])
 
+        if has_light:
+            i0u, i1u, fbu, b_inu = _col_taps(e_b, delta, ug_ref[0, :], B,
+                                             False)
+            tl = _pad_lanes(jnp.dot(wal_ref[s], lv_ref[s],
+                                    preferred_element_type=jnp.float32),
+                            B)
+            lT = _gather_cols(tl, i0u, i1u, fbu, b_inu, Wb_n, n_pieces)
+            shade = ambient + (1.0 - ambient) * jnp.clip(lT, 0.0, 1.0)
+        else:
+            shade = 1.0
+
         if emission:
             E = jnp.exp(-density * sigma * seg)
             live = (T > thresh).astype(jnp.float32) * frontf
             alpha = live * (1.0 - E)
-            Wr = Wr + T * alpha
+            Wr = Wr + T * alpha * shade
             Atil = bct - cw * Wr
-            dsig = live * density * seg * (cw * T * E - Atil)
+            dsig = live * density * seg * (cw * T * shade * E - Atil)
+            if has_light:
+                dshade = cw * T * alpha
+                clip_g = (((lT > 0.0) & (lT < 1.0)).astype(jnp.float32)
+                          + 0.5 * ((lT == 0.0) | (lT == 1.0)
+                                   ).astype(jnp.float32))
+                dlT = dshade * (1.0 - ambient) * clip_g
             T = T * (1.0 - alpha)
         else:
             dsig = frontf * ctacc_ref[:] * seg
@@ -1222,16 +1299,38 @@ def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch):
                 dl_ref[s, c] = dl_ref[s, c] + jax.lax.dot_general(
                     wa_ref[s, c], u, tA,
                     preferred_element_type=jnp.float32)
+        if has_light and emission:
+            # Light-volume gradient: unscaled 2-banded column scatter +
+            # transposed unscaled row matmul (the single-channel bwd's
+            # dL path; b_in folded so out-of-box rays contribute 0).
+            Wbu = (jnp.where(cols == i0u[:, None],
+                             ((1.0 - fbu) * b_inu)[:, None], 0.0)
+                   + jnp.where(cols == i1u[:, None],
+                               (fbu * b_inu)[:, None], 0.0))
+            if low:
+                ul = jnp.dot(dlT.astype(jnp.bfloat16),
+                             Wbu.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+                dlv_ref[s] = dlv_ref[s] + jax.lax.dot_general(
+                    wal_ref[s], ul.astype(jnp.bfloat16), tA,
+                    preferred_element_type=jnp.float32)
+            else:
+                ul = jnp.dot(dlT, Wbu, preferred_element_type=jnp.float32)
+                dlv_ref[s] = dlv_ref[s] + jax.lax.dot_general(
+                    wal_ref[s], ul, tA,
+                    preferred_element_type=jnp.float32)
 
 
-def _run_bwd_ref(lperm4, slice_z, wa_all, u_grid, seglen, params,
-                 emission, cw, bct, tck, wck, ctacc, interpret=False):
+def _run_bwd_ref(lperm4, lvperm, wal_all, slice_z, wa_all, u_grid,
+                 seglen, params, emission, cw, bct, tck, wck, ctacc,
+                 interpret=False):
     S, _, A, B = lperm4.shape
     Hb = wa_all.shape[2]
     Wb_n = u_grid.shape[0]
     n_rb = Hb // RB
     ch = math.gcd(CHUNK, S)
     n_sc = S // ch
+    has_light = lvperm is not None
 
     vm = pltpu.VMEM
     in_specs = [
@@ -1254,30 +1353,48 @@ def _run_bwd_ref(lperm4, slice_z, wa_all, u_grid, seglen, params,
     else:
         in_specs += [map_rb]
         inputs += [ctacc]
+    if has_light:
+        in_specs += [
+            pl.BlockSpec((ch, A, B), lambda sc, rb, *_: (sc, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((ch, RB, A), lambda sc, rb, *_: (sc, rb, 0),
+                         memory_space=vm),
+        ]
+        inputs += [lvperm, wal_all]
 
     dls = pl.BlockSpec((ch, NCH, A, B), lambda sc, rb, *_: (sc, 0, 0, 0),
                        memory_space=vm)
+    out_specs = [dls]
+    out_shape = [jax.ShapeDtypeStruct((S, NCH, A, B), jnp.float32)]
+    if has_light:
+        out_specs.append(pl.BlockSpec((ch, A, B),
+                                      lambda sc, rb, *_: (sc, 0, 0),
+                                      memory_space=vm))
+        out_shape.append(jax.ShapeDtypeStruct((S, A, B), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_sc, n_rb),
         in_specs=in_specs,
-        out_specs=[dls],
+        out_specs=out_specs,
     )
+    light_mul = 2 if has_light else 1
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel_ref, emission=emission, ch=ch),
+        functools.partial(_bwd_kernel_ref, emission=emission, ch=ch,
+                          has_light=has_light),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((S, NCH, A, B), jnp.float32)],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=NCH * (4 * S * Hb * A * B + 2 * S * Hb * Wb_n * B),
+            flops=light_mul * NCH * (4 * S * Hb * A * B
+                                     + 2 * S * Hb * Wb_n * B),
             bytes_accessed=4 * 2 * n_rb * S * NCH * A * B,
             transcendentals=S * Hb * Wb_n,
         ),
         interpret=interpret,
     )(slice_z, params, *inputs)
-    return out[0]
+    return (out[0], out[1]) if has_light else (out[0], None)
 
 
 def _channel_offsets(medium, scroll, coord_order):
@@ -1336,7 +1453,7 @@ def _row_matrices_ref(plan, A, medium, offs, address_mode):
 
 
 def sweep_base_pallas_ref(gperm4, plan, cfg, medium, light, scroll=None,
-                          interpret=False, lperm4=None):
+                          interpret=False, lperm4=None, lperm=None):
     """Reference-combine base maps via the 4-channel fused kernels.
 
     gperm4: (S, A, B, 4) transposed volume. The layer-lerp precompute and
@@ -1348,7 +1465,13 @@ def sweep_base_pallas_ref(gperm4, plan, cfg, medium, light, scroll=None,
     (S, C, A, B) in plan.slice_z (front-to-back) order — the sharded
     renderer computes them outside shard_map, where GSPMD handles the
     cross-slab k-gathers, and passes each device's local block here
-    (gperm4 is then ignored and may be None)."""
+    (gperm4 is then ignored and may be None).
+
+    lperm: optional light-transmittance volume (D, A, B) in the same
+    transposed layout, shaded per slice at UNSCALED coords (round 4 —
+    the last fused-kernel gate gap: a shadowed reference-combine scene
+    previously fell back to the jnp sweep silently). Gradients flow to
+    the grid channels AND the light volume."""
     lt = light if light is not None else LightConfig()
     offs = _channel_offsets(medium, scroll, plan.coord_order)
     params = jnp.concatenate([
@@ -1366,43 +1489,96 @@ def sweep_base_pallas_ref(gperm4, plan, cfg, medium, light, scroll=None,
                                  cfg.address_mode)
     lperm4 = lperm4.astype(kdt)  # autodiff casts the cotangent back
 
-    f = _fused_vjp_ref(cfg.emission, interpret)
-    return f(lperm4, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
-             params)
+    if lperm is None:
+        f = _fused_vjp_ref(cfg.emission, False, interpret)
+        return f(lperm4, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
+                 params)
+    # Pre-lerp the light volume onto the slice planes (differentiable;
+    # also covers n_slices != depth) and build its unscaled row matrices.
+    lvperm = _layer_lerp_stack(lperm, plan.slice_z,
+                               cfg.address_mode).astype(kdt)
+    wal_all = jax.lax.stop_gradient(
+        _row_matrices(plan, lperm.shape[1], cfg.address_mode)).astype(kdt)
+    f = _fused_vjp_ref(cfg.emission, True, interpret)
+    return f(lperm4, lvperm, wal_all, plan.slice_z, wa_all, plan.u_grid,
+             plan.seglen, params)
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_vjp_ref(emission, interpret):
+def _fused_vjp_ref(emission, has_light, interpret):
     """Reference-combine custom_vjp instance — same no-closed-over-
     tracers contract as _fused_vjp (the sharded reference path passes
     shard_map-traced plan arrays and channel slabs)."""
 
+    def plan_zeros(slice_z, wa, ug, seg, params):
+        return (jnp.zeros_like(slice_z), jnp.zeros_like(wa),
+                jnp.zeros_like(ug), jnp.zeros_like(seg),
+                jnp.zeros_like(params))
+
+    if not has_light:
+
+        @jax.custom_vjp
+        def f(L, slice_z, wa, ug, seg, params):
+            return _run_fwd_ref(L, None, None, slice_z, wa, ug, seg,
+                                params, emission, False, interpret)[:4]
+
+        def f_fwd(L, slice_z, wa, ug, seg, params):
+            outs = _run_fwd_ref(L, None, None, slice_z, wa, ug, seg,
+                                params, emission, emission, interpret)
+            tck, wck = (outs[4], outs[5]) if emission else (None, None)
+            return tuple(outs[:4]), (L, outs[1], outs[2], tck, wck,
+                                     slice_z, wa, ug, seg, params)
+
+        def f_bwd(res, ct):
+            L, trans, wsum, tck, wck, slice_z, wa, ug, seg, params = res
+            ct_acc, ct_trans, ct_wsum, _ct_hit = ct
+            if emission:
+                cw = ct_wsum
+                bct = ct_trans * trans + cw * wsum
+                dL, _ = _run_bwd_ref(L, None, None, slice_z, wa, ug, seg,
+                                     params, True, cw, bct, tck, wck,
+                                     None, interpret)
+            else:
+                dL, _ = _run_bwd_ref(L, None, None, slice_z, wa, ug, seg,
+                                     params, False, None, None, None,
+                                     None, ct_acc, interpret)
+            return (dL.astype(L.dtype),) + plan_zeros(slice_z, wa, ug,
+                                                      seg, params)
+
+        f.defvjp(f_fwd, f_bwd)
+        return f
+
     @jax.custom_vjp
-    def f(L, slice_z, wa, ug, seg, params):
-        return _run_fwd_ref(L, slice_z, wa, ug, seg, params, emission,
-                            False, interpret)[:4]
+    def f2(L, lv, wal, slice_z, wa, ug, seg, params):
+        return _run_fwd_ref(L, lv, wal, slice_z, wa, ug, seg, params,
+                            emission, False, interpret)[:4]
 
-    def f_fwd(L, slice_z, wa, ug, seg, params):
-        outs = _run_fwd_ref(L, slice_z, wa, ug, seg, params, emission,
-                            emission, interpret)
+    def f2_fwd(L, lv, wal, slice_z, wa, ug, seg, params):
+        outs = _run_fwd_ref(L, lv, wal, slice_z, wa, ug, seg, params,
+                            emission, emission, interpret)
         tck, wck = (outs[4], outs[5]) if emission else (None, None)
-        return tuple(outs[:4]), (L, outs[1], outs[2], tck, wck, slice_z,
-                                 wa, ug, seg, params)
+        return tuple(outs[:4]), (L, lv, wal, outs[1], outs[2], tck, wck,
+                                 slice_z, wa, ug, seg, params)
 
-    def f_bwd(res, ct):
-        L, trans, wsum, tck, wck, slice_z, wa, ug, seg, params = res
+    def f2_bwd(res, ct):
+        (L, lv, wal, trans, wsum, tck, wck, slice_z, wa, ug, seg,
+         params) = res
         ct_acc, ct_trans, ct_wsum, _ct_hit = ct
         if emission:
             cw = ct_wsum
             bct = ct_trans * trans + cw * wsum
-            dL = _run_bwd_ref(L, slice_z, wa, ug, seg, params, True, cw,
-                              bct, tck, wck, None, interpret)
+            dL, dlv = _run_bwd_ref(L, lv, wal, slice_z, wa, ug, seg,
+                                   params, True, cw, bct, tck, wck, None,
+                                   interpret)
         else:
-            dL = _run_bwd_ref(L, slice_z, wa, ug, seg, params, False,
-                              None, None, None, None, ct_acc, interpret)
-        return (dL.astype(L.dtype), jnp.zeros_like(slice_z),
-                jnp.zeros_like(wa), jnp.zeros_like(ug),
-                jnp.zeros_like(seg), jnp.zeros_like(params))
+            dL, dlv = _run_bwd_ref(L, lv, wal, slice_z, wa, ug, seg,
+                                   params, False, None, None, None, None,
+                                   ct_acc, interpret)
+        if dlv is None:
+            dlv = jnp.zeros_like(lv)
+        return (dL.astype(L.dtype), dlv.astype(lv.dtype),
+                jnp.zeros_like(wal)) + plan_zeros(slice_z, wa, ug, seg,
+                                                  params)
 
-    f.defvjp(f_fwd, f_bwd)
-    return f
+    f2.defvjp(f2_fwd, f2_bwd)
+    return f2

@@ -430,6 +430,7 @@ def plan_sweep(
     force_base_dims: Optional[Tuple[int, int]] = None,
     min_warp_band: Optional[Tuple[int, int]] = None,
     min_row_window: Optional[int] = None,
+    trust_band: bool = False,
 ) -> SweepPlan:
     """Build the static sweep geometry for a concrete camera (host-side).
 
@@ -441,7 +442,15 @@ def plan_sweep(
     (the rotating-cube interaction, TestMain.cpp:177-190).
 
     force_base_dims/min_warp_band pin the shape-determining quantities for
-    compile-stable animation (see plan_base_dims)."""
+    compile-stable animation (see plan_base_dims).
+
+    trust_band=True (requires min_warp_band) takes min_warp_band as THE
+    band without reading the device-computed one back — the only
+    synchronous device round trip in a plan build, ~30 ms through a
+    tunneled chip. The caller must guarantee the band covers every
+    reachable camera (the serve loop probes + pads its orbit family);
+    an undersized band would clip warp rects. The per-8px-block span
+    check is skipped too."""
     g = _host_geometry(camera, grid_shape, cfg, world_to_local, supersample,
                        n_slices, max_base_dim, min_axis_component,
                        force_base_dims)
@@ -455,42 +464,59 @@ def plan_sweep(
     Hb, Wb, S = g["Hb"], g["Wb"], g["S"]
     c_k, c_a, c_b = coord_order
 
-    # Per-pixel warp coordinates, segment lengths, and the adjoint-splat
-    # band bounds are computed ON DEVICE in a single jitted call: host-built
-    # HxW arrays would be megabytes of host->device transfer per plan
-    # (hundreds of seconds through a tunneled chip), and eager op-by-op
-    # dispatch is nearly as bad.
+    warp_tile = _pick_warp_tile(Hb, Wb)
+    # Everything device-side happens in ONE jitted call on ONE packed
+    # upload (host-built HxW arrays would be megabytes of host->device
+    # transfer per plan, and each eager op or separate device_put is a
+    # ~30 ms dispatch through a tunneled chip — the live serve loop
+    # builds a plan per frame, so round trips are the budget).
     w2l = (np.eye(4) if world_to_local is None
            else np.asarray(world_to_local)).astype(np.float32)
-    seglen, warp_rows01, warp_cols01, tile_lo, band = _device_plan(
-        jnp.asarray(camera.right, jnp.float32),
-        jnp.asarray(camera.up, jnp.float32),
-        jnp.asarray(camera.forward, jnp.float32),
-        jnp.asarray(camera.tan_half_fov, jnp.float32),
-        jnp.asarray(w2l, jnp.float32),
-        jnp.asarray(box_range, jnp.float32),
-        jnp.asarray(u_grid, jnp.float32),
-        jnp.asarray(v_grid, jnp.float32),
-        jnp.asarray([thu_lo, thu_hi, thv_lo, thv_hi], jnp.float32),
-        jnp.asarray(rng_perm, jnp.float32),
+    if trust_band:
+        if min_warp_band is None:
+            raise ValueError("trust_band requires min_warp_band")
+        band_r = min(int(min_warp_band[0]), camera.height)
+        band_c = min(int(min_warp_band[1]), camera.width)
+        clamp_band = (band_r, band_c)
+    else:
+        clamp_band = None
+    packed = np.concatenate([
+        np.asarray(camera.right, np.float32).ravel(),
+        np.asarray(camera.up, np.float32).ravel(),
+        np.asarray(camera.forward, np.float32).ravel(),
+        np.asarray([camera.tan_half_fov], np.float32).ravel(),
+        w2l.ravel(),
+        np.asarray(box_range, np.float32),
+        np.asarray([thu_lo, thu_hi, thv_lo, thv_hi], np.float32),
+        np.asarray(rng_perm, np.float32),
+        np.asarray(e01_xyz[[c_k, c_a, c_b]], np.float32),
+        np.asarray(box_min[[c_k, c_a, c_b]], np.float32),
+        np.asarray(v_grid, np.float32),
+        np.asarray(u_grid, np.float32),
+        np.ascontiguousarray(slice_z).astype(np.float32),
+    ])
+    (eye01_d, box_min_d, rng_perm_d, v_grid_d, u_grid_d, slice_z_d,
+     seglen, warp_rows01, warp_cols01, tile_lo, band) = _device_plan(
+        jnp.asarray(packed),
         width=camera.width, height=camera.height,
         aspect=float(camera.aspect), c_k=c_k, c_a=c_a, c_b=c_b,
-        n_slices=S, tile=_WARP_TILE, hb=Hb, wb=Wb,
+        n_slices=S, tile=warp_tile, hb=Hb, wb=Wb,
+        clamp_band=clamp_band,
     )
-    band_np = np.asarray(band)
-    band_r, band_c = int(band_np[0]), int(band_np[1])
-    if min_warp_band is not None:
-        band_r = min(max(band_r, int(min_warp_band[0])), camera.height)
-        band_c = min(max(band_c, int(min_warp_band[1])), camera.width)
-    if int(band_np[2]) > 3 or int(band_np[3]) > 3:
-        raise ValueError(
-            "sweep unsupported: an 8px pixel block spans >3 base tiles "
-            "(extreme base/pixel density ratio); lower supersample")
-    tile_lo = jnp.minimum(
-        tile_lo,
-        jnp.asarray([max(camera.height - band_r, 0),
-                     max(camera.width - band_c, 0), 1], jnp.int32))
-    tile_lo = jnp.maximum(tile_lo, 0)
+    if not trust_band:
+        band_np = np.asarray(band)  # the one synchronous round trip
+        band_r, band_c = int(band_np[0]), int(band_np[1])
+        if min_warp_band is not None:
+            band_r = min(max(band_r, int(min_warp_band[0])),
+                         camera.height)
+            band_c = min(max(band_c, int(min_warp_band[1])), camera.width)
+        if int(band_np[2]) > 3 or int(band_np[3]) > 3:
+            raise ValueError(
+                "sweep unsupported: an 8px pixel block spans >3 base "
+                "tiles (extreme base/pixel density ratio); lower "
+                "supersample")
+        tile_lo = _clamp_tile_lo(tile_lo, max(camera.height - band_r, 0),
+                                 max(camera.width - band_c, 0))
 
     # Fused-kernel row/column windows (see kernels/sweep_pallas.py):
     # valid for clamp/mirror only (wrap can wrap an edge tap across the
@@ -518,25 +544,24 @@ def plan_sweep(
             if row_window >= int(grid_shape[perm[1]]):
                 row_window = 0
 
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
     return SweepPlan(
-        eye01=f32(e01_xyz[[c_k, c_a, c_b]]),
-        v_grid=f32(v_grid),
-        u_grid=f32(u_grid),
-        slice_z=f32(np.ascontiguousarray(slice_z)),
+        eye01=eye01_d,
+        v_grid=v_grid_d,
+        u_grid=u_grid_d,
+        slice_z=slice_z_d,
         seglen=seglen,
         warp_rows01=warp_rows01,
         warp_cols01=warp_cols01,
         warp_tile_lo=tile_lo,
-        box_range=f32(rng_perm),
-        box_min=f32(box_min[[c_k, c_a, c_b]]),
+        box_range=rng_perm_d,
+        box_min=box_min_d,
         axis=axis,
         sign=sign,
         perm=perm,
         coord_order=coord_order,
         identity_warp=False,
         warp_band=(band_r, band_c),
-        warp_blk=_WARP_TILE,
+        warp_blk=warp_tile,
         row_window=int(row_window),
         col_window=int(col_window),
         scatter_window=int(scatter_window),
@@ -545,20 +570,64 @@ def plan_sweep(
 
 import os as _os
 
-_WARP_TILE = int(_os.environ.get("VOLT_WARP_TILE", 64))  # base-tile edge
-# for the warp windows: per-pixel flops scale ~T^2 x rect(T), so smaller
-# tiles cut flops but add scan iterations (A/B'd on chip, r4)
+# Warp base-tile edge. Chip A/B at 1536^2/1080p/2ch (round 4, ms/frame
+# fwd / fwd+bwd): T=32: 22.0/33.7, T=48: 10.3/19.8, T=64: 7.2/11.1,
+# T=96: 4.6/6.9 (twice), T=128: 12.6/17.0 (twice), T=192: 4.6/8.3 —
+# the scan is iteration-latency-bound below 96 and rect-slack-bound
+# above; 96 wins. It only divides 384-multiple base dims, so plans fall
+# back to 64 otherwise (both divide the flagship 1536). VOLT_WARP_TILE
+# forces a value for A/Bs.
+@partial(jax.jit, static_argnames=("max_r", "max_c"))
+def _clamp_tile_lo(tile_lo, max_r, max_c):
+    lo = jnp.minimum(tile_lo, jnp.asarray([max_r, max_c, 1], jnp.int32))
+    return jnp.maximum(lo, 0)
+
+
+_WARP_TILE_ENV = _os.environ.get("VOLT_WARP_TILE", "")
 _WARP_UNROLL = int(_os.environ.get("VOLT_WARP_UNROLL", 4))
+
+
+def _pick_warp_tile(Hb: int, Wb: int) -> int:
+    if _WARP_TILE_ENV:
+        return int(_WARP_TILE_ENV)
+    if Hb % 96 == 0 and Wb % 96 == 0:
+        return 96
+    return 64
 
 
 @partial(jax.jit,
          static_argnames=("width", "height", "aspect", "c_k", "c_a", "c_b",
-                          "n_slices", "tile", "hb", "wb"))
-def _device_plan(right, up, forward, tan_half, w2l, box_range, u_grid,
-                 v_grid, th_bounds, rng_perm, *, width, height, aspect,
-                 c_k, c_a, c_b, n_slices, tile, hb, wb):
-    """Device-side plan arrays: seglen map, pixel->base warp coords (atan
-    space), and per-pixel-tile base windows for the warp adjoint."""
+                          "n_slices", "tile", "hb", "wb", "clamp_band"))
+def _device_plan(packed, *, width, height, aspect, c_k, c_a, c_b,
+                 n_slices, tile, hb, wb, clamp_band=None):
+    """Device-side plan arrays from ONE packed f32 upload: seglen map,
+    pixel->base warp coords (atan space), per-pixel-tile base windows for
+    the warp adjoint, and the pass-through plan vectors (so a plan build
+    is one transfer + one dispatch — the serve loop builds one per
+    frame). clamp_band=(band_r, band_c): clamp tile_lo in-call against a
+    caller-trusted static band (skips the band readback)."""
+    off = 0
+
+    def take(n):
+        nonlocal off
+        v = jax.lax.slice_in_dim(packed, off, off + n)
+        off += n
+        return v
+
+    right = take(3)
+    up = take(3)
+    forward = take(3)
+    tan_half = take(1)[0]
+    w2l = take(16).reshape(4, 4)
+    box_range = take(3)
+    th_bounds = take(4)
+    rng_perm = take(3)
+    eye01 = take(3)
+    box_min = take(3)
+    v_grid = take(hb)
+    u_grid = take(wb)
+    slice_z = take(n_slices)
+
     seglen = (1.0 / n_slices) * jnp.sqrt(
         rng_perm[0] ** 2
         + (v_grid[:, None] * rng_perm[1]) ** 2
@@ -647,7 +716,14 @@ def _device_plan(right, up, forward, tan_half, w2l, box_range, u_grid,
                          nonempty.astype(jnp.int32).ravel()], axis=-1)
     span_r = jnp.max(jnp.where(bvalid, tr1 - tr0 + 1, 1))
     span_c = jnp.max(jnp.where(bvalid, tc1 - tc0 + 1, 1))
-    return (seglen, rows01, cols01, tile_lo,
+    if clamp_band is not None:
+        tile_lo = jnp.maximum(
+            jnp.minimum(tile_lo,
+                        jnp.asarray([max(height - clamp_band[0], 0),
+                                     max(width - clamp_band[1], 0), 1],
+                                    jnp.int32)), 0)
+    return (eye01, box_min, rng_perm, v_grid, u_grid, slice_z,
+            seglen, rows01, cols01, tile_lo,
             jnp.stack([band_r, band_c, span_r, span_c]))
 
 
@@ -1193,7 +1269,8 @@ def sweep_render(
     from ..kernels import sweep_pallas as _sp
     ok = (_sp.supported(plan, cfg, medium, light_volume, scroll, grid.ndim,
                         gperm.shape[0])
-          and (light_volume is None or light_volume.shape == grid.shape))
+          and (light_volume is None
+               or light_volume.shape == grid.shape[:3]))
     if use_pallas is None:
         use_pallas = ok and jax.default_backend() == "tpu"
     elif use_pallas and not ok:
