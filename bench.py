@@ -242,8 +242,12 @@ def main():
     A_eff = plan.row_window or A          # row-matmul contraction
     sc_eff = ((plan.scatter_window * (A // 128) * 128)
               if plan.scatter_window else Wb * A)  # bwd scatter work/row
-    # fwd t + bwd t-recompute + dG (contraction A_eff each) + scatter
-    dense = 2.0 * S * Hb * (3.0 * A_eff * A + sc_eff)
+    # fwd t + bwd t-recompute + dG (contraction A_eff each) + scatter +
+    # the matmul column stage (fwd and bwd-recompute, one-hot contraction
+    # over the grid cols — deliberately "wasteful" MXU work that replaced
+    # the VPU lane gathers; useful_mfu stays the honest efficiency
+    # metric)
+    dense = 2.0 * S * Hb * (3.0 * A_eff * A + sc_eff + 2.0 * Wb * A)
     useful = 2.0 * (4.0 * S * Hb * A + 4.0 * S * Hb * Wb) \
         + 16.0 * S * Hb * Wb
     mfu = dense / per_frame / peak

@@ -209,9 +209,17 @@ def cmd_animate(args):
                 # render_image's path does
                 lv = light_transmittance_volume(g, light, cfg, medium,
                                                 scroll=scroll)
-            return render_image(g, None, cfg, medium, light, scroll=scroll,
-                                plan=plan, light_volume=lv,
-                                backend="sweep")
+            img = render_image(g, None, cfg, medium, light, scroll=scroll,
+                               plan=plan, light_volume=lv,
+                               backend="sweep")
+            # uint8 ON DEVICE: the per-frame image download dominates the
+            # animate wall clock through a tunneled chip (f32 RGBA at
+            # 1080p is 8.3 MB/frame; 8-bit unorm is the present format —
+            # the reference's swapchain is RGBA8). Same conversion
+            # utils.image.to_uint8 would apply host-side.
+            import jax.numpy as jnp
+            return jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(
+                jnp.uint8)
 
     import numpy as np
 

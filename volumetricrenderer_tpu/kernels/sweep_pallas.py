@@ -83,10 +83,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import LightConfig, MediumConfig, RenderConfig
 
+import os as _os
+
 RB = 128     # base rows per block (plan base dims are multiples of 128)
-CHUNK = 8    # slices per grid step (statically unrolled in the kernel; 16
-             # measured: fwd -0.4 ms but bwd +1.2 ms and 2x bwd scratch)
+CHUNK = int(_os.environ.get("VOLT_SWEEP_CHUNK", 8))
+# slices per grid step (statically unrolled in the kernel; 16 measured
+# r3: fwd -0.4 ms but bwd +1.2 ms and 2x bwd scratch; env knob for A/Bs)
 LANES = 128
+# A/B kill-switches: comma list in VOLT_WIN_DISABLE ("row,col,scatter")
+# forces the dense form of that stage regardless of the plan's windows.
+_WIN_DISABLE = set(
+    w for w in _os.environ.get("VOLT_WIN_DISABLE", "").split(",") if w)
+# TIMING-ONLY experiment flag: replace the column gather stage with a
+# wrong-but-shaped passthrough to bound its cost (never for rendering).
+# The bound motivated the matmul column stage below: at the flagship the
+# gathers were 4.7 of 7.0 ms fwd and 9.0 of 16.4 ms fwd+bwd.
+_SKIP_GATHER = bool(int(_os.environ.get("VOLT_SKIP_GATHER", "0")))
+# Column stage implementation: "mm" issues the per-output-chunk windowed
+# resample as (RB, Wc) x (Wc, 128) MXU matmuls with one-hot tap matrices
+# built per slice at rb==0 (the VPU lane gathers were ~2/3 of kernel
+# time and the MXU is otherwise nearly idle); "gather" keeps the lane
+# gathers. "auto" resolves to mm whenever the plan has a column window.
+_COL_STAGE = _os.environ.get("VOLT_COL_STAGE", "auto")
+# Forward column stage: the fwd grid is rb-major so per-slice matrices
+# cannot live in scratch across row blocks; "mm" builds them per use
+# (A/B'd on chip against the lane gathers).
+_COL_STAGE_FWD = _os.environ.get("VOLT_COL_STAGE_FWD", "auto")
 GRAN = 64    # granule (grid rows) for the windowed row resample below
 
 __all__ = ["supported", "sweep_base_pallas"]
@@ -266,6 +288,10 @@ def _gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces, win_pieces=0,
     windowed decomposition: t is staged into the ts_ref VMEM scratch and
     each chunk ref-loads only its window (the offset derives from the
     SAME i0 the taps use, masked to in-box lanes)."""
+    if _SKIP_GATHER:  # timing bound only: wrong values, right shapes
+        reps = -(-Wb_n // t.shape[1])
+        return jnp.tile(t * fb[:t.shape[1]][None, :],
+                        (1, reps))[:, :Wb_n]
     windowed = 0 < win_pieces < n_pieces and ts_ref is not None
     if windowed:
         ts_ref[:] = t
@@ -286,6 +312,39 @@ def _gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces, win_pieces=0,
         w1 = fb[sl][None, :]
         chunks.append(g0 * (1.0 - w1) + g1 * w1)
     return jnp.concatenate(chunks, axis=1)
+
+
+def _build_wbc_full(i0, i1, fb, b_in, B, Wb_n, dtype):
+    """One-hot column-resample matrices for ONE slice, all output chunks:
+    Wbc[q][src, out] = (1-fb)*(src == i0) + fb*(src == i1) with the
+    in-box mask folded, so  sigma[:, q-chunk] = t @ Wbc[q]  runs on the
+    MXU instead of the VPU lane gathers (which measured ~2/3 of kernel
+    time). Lane-friendly build: the tap vectors stay on lanes, the src
+    iota is on sublanes — no lane->sublane transposes. Stacked
+    (n_q, B, LANES). Correct for clipped AND wrapped taps (equality
+    against arbitrary in-range indices)."""
+    n_q = Wb_n // LANES
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 0)
+    mats = []
+    for q in range(n_q):
+        sl = slice(q * LANES, (q + 1) * LANES)
+        w0 = ((1.0 - fb[sl]) * b_in[sl])[None, :]
+        w1 = (fb[sl] * b_in[sl])[None, :]
+        mats.append(jnp.where(rows == i0[sl][None, :], w0, 0.0)
+                    + jnp.where(rows == i1[sl][None, :], w1, 0.0))
+    return jnp.stack(mats, axis=0).astype(dtype)
+
+
+def _apply_wbc(t, wbc_c):
+    """t (RB, >=B) @ per-chunk one-hot matrices (n_q, B, LANES) ->
+    (RB, Wb_n). Output includes the in-box mask (folded into weights)."""
+    B = wbc_c.shape[1]
+    tm = t[:, :B]
+    if wbc_c.dtype == jnp.bfloat16:
+        tm = tm.astype(jnp.bfloat16)
+    return jnp.concatenate(
+        [jnp.dot(tm, wbc_c[q], preferred_element_type=jnp.float32)
+         for q in range(wbc_c.shape[0])], axis=1)
 
 
 def _col_taps(e_b, delta, ug_row, B, wrap=False):
@@ -315,9 +374,9 @@ def _col_taps(e_b, delta, ug_row, B, wrap=False):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
-                has_light, with_ckpt, wrap, n_win, cwin):
+                has_light, with_ckpt, wrap, n_win, cwin, colmm):
     ts_s = None
-    if cwin:
+    if cwin and not colmm:
         refs, ts_s = refs[:-1], refs[-1]
     ng = max(n_win, 1)  # windowed: n_win granule refs; dense: 1 full ref
     i = 0
@@ -372,16 +431,24 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
             i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B,
                                          wrap)
             Wb_n = ug_ref.shape[1]
-            sigma = (_gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces,
-                                  cwin, ts_s)
-                     * b_in[None, :] * sscale)
+            if colmm:
+                wbc = _build_wbc_full(i0, i1, fb, b_in, B, Wb_n,
+                                      jnp.float32)
+                sigma = _apply_wbc(t, wbc) * sscale
+            else:
+                sigma = (_gather_cols(t, i0, i1, fb, b_in, Wb_n,
+                                      n_pieces, cwin, ts_s)
+                         * b_in[None, :] * sscale)
 
             if has_light:
                 tl = _pad_lanes(jnp.dot(wa_ref[c], gmat(l_refs, c),
                                         preferred_element_type=jnp.float32),
                                 B)
-                lT = _gather_cols(tl, i0, i1, fb, b_in, Wb_n, n_pieces,
-                                  cwin, ts_s)
+                if colmm:
+                    lT = _apply_wbc(tl, wbc)
+                else:
+                    lT = _gather_cols(tl, i0, i1, fb, b_in, Wb_n,
+                                      n_pieces, cwin, ts_s)
                 shade = ambient + (1.0 - ambient) * jnp.clip(lT, 0.0, 1.0)
             else:
                 shade = 1.0
@@ -402,7 +469,7 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
 
 
 def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
-             n_win, cwin, emission, with_ckpt, interpret=False,
+             n_win, cwin, colmm, emission, with_ckpt, interpret=False,
              wrap=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
@@ -461,13 +528,14 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=([pltpu.VMEM((RB, max(B, LANES)), jnp.float32)]
-                        if cwin else []),
+                        if (cwin and not colmm) else []),
     )
     light_mul = 2 if has_light else 1
     return pl.pallas_call(
         functools.partial(_fwd_kernel, emission=emission, ch=ch,
                           has_light=has_light, with_ckpt=with_ckpt,
-                          wrap=wrap, n_win=n_win, cwin=cwin),
+                          wrap=wrap, n_win=n_win, cwin=cwin,
+                          colmm=colmm),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -488,9 +556,11 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
-                has_light, wrap, n_win, cwin, swin):
-    ts_s = None
-    if cwin:
+                has_light, wrap, n_win, cwin, swin, colmm):
+    wbc_s = ts_s = None
+    if colmm:
+        refs, wbc_s = refs[:-1], refs[-1]
+    elif cwin:
         refs, ts_s = refs[:-1], refs[-1]
     if swin:
         refs, wbm_s, joff_s, mat_s = refs[:-3], refs[-3], refs[-2], refs[-1]
@@ -571,19 +641,36 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
         i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B,
                                          wrap)
 
+        if colmm:
+            # MXU column stage (see _build_wbc_full): matrices built once
+            # per slice at the first row block, shared by all row blocks
+            # (this grid is sc-major, so the scratch slot stays live).
+            @pl.when(rb == 0)
+            def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
+                wbc_s[c] = _build_wbc_full(i0, i1, fb, b_in, B, Wb_n,
+                                           wbc_s.dtype)
+
         if emission:
-            # Recompute sigma exactly as the forward kernel did.
+            # Recompute sigma exactly as the forward kernel did (the
+            # matmul column stage sums the same two taps — equal up to
+            # f32 summation order).
             t = _pad_lanes(jnp.dot(wa_ref[c], vol_win(g_ref, c),
                                    preferred_element_type=jnp.float32), B)
-            sigma = (_gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces,
-                                  cwin, ts_s)
-                     * b_in[None, :] * sscale)
+            if colmm:
+                sigma = _apply_wbc(t, wbc_s[c]) * sscale
+            else:
+                sigma = (_gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces,
+                                      cwin, ts_s)
+                         * b_in[None, :] * sscale)
             if has_light:
                 tl = _pad_lanes(jnp.dot(wa_ref[c], vol_win(l_ref, c),
                                         preferred_element_type=jnp.float32),
                                 B)
-                lT = _gather_cols(tl, i0, i1, fb, b_in, Wb_n, n_pieces,
-                                  cwin, ts_s)
+                if colmm:
+                    lT = _apply_wbc(tl, wbc_s[c])
+                else:
+                    lT = _gather_cols(tl, i0, i1, fb, b_in, Wb_n,
+                                      n_pieces, cwin, ts_s)
                 shade = ambient + (1.0 - ambient) * jnp.clip(lT, 0.0, 1.0)
             else:
                 shade = 1.0
@@ -687,7 +774,7 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
 
 
 def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
-             n_win, cwin, swin, emission, cw, bct, tck, wck, ctacc,
+             n_win, cwin, swin, colmm, emission, cw, bct, tck, wck, ctacc,
              interpret=False, wrap=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
@@ -739,7 +826,10 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
                    pltpu.VMEM((RB, Wb_n), jnp.float32)]
     else:
         scratch = [pltpu.VMEM((ch, Wb_n, B), gperm.dtype)]
-    if cwin:
+    if colmm:
+        scratch.append(pltpu.VMEM((ch, Wb_n // LANES, B, LANES),
+                                  gperm.dtype))
+    elif cwin:
         scratch.append(pltpu.VMEM((RB, max(B, LANES)), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -752,7 +842,7 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, emission=emission, ch=ch,
                           has_light=has_light, wrap=wrap, n_win=n_win,
-                          cwin=cwin, swin=swin),
+                          cwin=cwin, swin=swin, colmm=colmm),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -843,7 +933,7 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     params = _params_for(plan, cfg, medium, lt)
     kdt = cfg.jnp_dtype  # stream dtype: grid + row matrices (bf16-able)
     A = gperm.shape[1]
-    rw = getattr(plan, "row_window", 0)
+    rw = 0 if "row" in _WIN_DISABLE else getattr(plan, "row_window", 0)
     n_win = 0
     if (rw and rw % GRAN == 0 and rw < A and A % GRAN == 0
             and cfg.address_mode in ("mirror", "clamp")):
@@ -858,17 +948,26 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
             _row_matrices(plan, A, cfg.address_mode)).astype(kdt)
     wrap_mode = cfg.address_mode == "wrap"
     B = gperm.shape[2]
-    cw_el = getattr(plan, "col_window", 0)
+    cw_el = 0 if "col" in _WIN_DISABLE else getattr(plan, "col_window", 0)
     cwin = 0
     if (cw_el and cw_el % LANES == 0 and B % LANES == 0 and cw_el < B
             and cfg.address_mode in ("mirror", "clamp")):
         cwin = cw_el // LANES
-    sw_el = getattr(plan, "scatter_window", 0)
+    sw_el = (0 if "scatter" in _WIN_DISABLE
+             else getattr(plan, "scatter_window", 0))
     swin = 0
     if (sw_el and sw_el % LANES == 0 and B % LANES == 0
             and sw_el < plan.u_grid.shape[0]
             and cfg.address_mode in ("mirror", "clamp")):
         swin = sw_el // LANES
+    # Backward column stage: full-width MXU matmuls whenever the grid
+    # cols tile the lanes (correct for every address mode — the one-hot
+    # build compares against arbitrary in-range taps). The forward keeps
+    # the lane gathers: its grid is rb-major, so per-slice matrices
+    # cannot be amortized there (build-per-use loses the win).
+    colmm = (_COL_STAGE in ("auto", "mm", "1")
+             and B % LANES == 0
+             and plan.u_grid.shape[0] % LANES == 0)
     S = plan.slice_z.shape[0]
     if S != gperm.shape[0]:
         # Sub-voxel-count quadrature (the reference marches <= 128 steps
@@ -886,8 +985,9 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     # its autodiff transpose is another reverse); everything traced goes
     # in as an explicit argument (see _fused_vjp).
     g = gperm[::-1] if flip else gperm
+    colmm_f = colmm and _COL_STAGE_FWD in ("auto", "mm", "1")
     f = _fused_vjp(cfg.emission, lperm is not None, n_win, cwin, swin,
-                   interpret, wrap_mode, cfg.dtype)
+                   colmm, colmm_f, interpret, wrap_mode, cfg.dtype)
     if lperm is None:
         return f(g, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
                  params, rowoff)
@@ -897,8 +997,8 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_vjp(emission, has_light, n_win, cwin, swin, interpret, wrap,
-               dtype_name):
+def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
+               interpret, wrap, dtype_name):
     """custom_vjp instance for one static kernel configuration.
 
     EVERY traced array is an explicit argument: a custom_vjp must not
@@ -914,7 +1014,8 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, interpret, wrap,
         return _run_fwd(g.astype(kdt),
                         None if l is None else l.astype(kdt),
                         slice_z, wa, ug, seg, params, rowoff, n_win,
-                        cwin, emission, with_ckpt, interpret, wrap)
+                        cwin, colmm_f, emission, with_ckpt, interpret,
+                        wrap)
 
     def run_bwd(g, l, ct, trans, wsum, tck, wck, slice_z, wa, ug, seg,
                 params, rowoff):
@@ -925,11 +1026,11 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, interpret, wrap,
             cw = ct_wsum
             bct = ct_trans * trans + cw * wsum
             return _run_bwd(g, l, slice_z, wa, ug, seg, params, rowoff,
-                            n_win, cwin, swin, True, cw, bct, tck, wck,
-                            None, interpret, wrap)
+                            n_win, cwin, swin, colmm, True, cw, bct, tck,
+                            wck, None, interpret, wrap)
         return _run_bwd(g, l, slice_z, wa, ug, seg, params, rowoff,
-                        n_win, cwin, swin, False, None, None, None, None,
-                        ct_acc, interpret, wrap)
+                        n_win, cwin, swin, colmm, False, None, None, None,
+                        None, ct_acc, interpret, wrap)
 
     def plan_zeros(slice_z, wa, ug, seg, params, rowoff):
         return (jnp.zeros_like(slice_z), jnp.zeros_like(wa),
