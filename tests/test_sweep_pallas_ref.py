@@ -159,3 +159,43 @@ def test_reference_combine_light_volume_parity():
         np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
                                    rtol=2e-4, atol=2e-4 * scale,
                                    err_msg=name)
+
+
+def test_reference_combine_colmm_parity():
+    """The matmul column stage in the 4-channel kernels (round 4): a
+    grid whose column count tiles the 128 lanes activates it (the D=16
+    tests exercise the gather fallback). Forward + gradients vs the jnp
+    sweep, with scroll + mirror-scaled taps."""
+    cfg = RenderConfig(emission=True, quadrature="sliced",
+                       address_mode="mirror")
+    medium = MediumConfig(combine="reference", density=4.0)
+    cam = make_camera(CameraConfig(eye=(0.4, 0.3, 3.0), width=96,
+                                   height=64))
+    rng = np.random.default_rng(3)
+    grid = jnp.asarray(rng.uniform(0.1, 1.0, (8, 64, 128, 4)),
+                       jnp.float32)
+    scroll = reference_media_scroll(0.5)
+    plan = plan_sweep(cam, grid.shape, cfg)
+    gperm = jnp.transpose(grid, plan.perm + (3,))
+    ref = _sweep_base(gperm, None, plan.slice_z, plan.v_grid, plan.u_grid,
+                      plan.seglen, plan, cfg, medium, None, scroll)
+    got = sp.sweep_base_pallas_ref(gperm, plan, cfg, medium, None,
+                                   scroll=scroll, interpret=True)
+    for x, y, n in zip(ref, got, ("acc", "trans", "wsum", "hit")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-5, err_msg=n)
+
+    def loss_p(g):
+        m = sp.sweep_base_pallas_ref(g, plan, cfg, medium, None,
+                                     scroll=scroll, interpret=True)
+        return jnp.sum(m[1]) + jnp.sum(m[2] ** 2)
+
+    def loss_j(g):
+        m = _sweep_base(g, None, plan.slice_z, plan.v_grid, plan.u_grid,
+                        plan.seglen, plan, cfg, medium, None, scroll)
+        return jnp.sum(m[1]) + jnp.sum(m[2] ** 2)
+
+    g1 = np.asarray(jax.grad(loss_p)(gperm))
+    g2 = np.asarray(jax.grad(loss_j)(gperm))
+    scale = np.abs(g2).max() + 1e-12
+    np.testing.assert_allclose(g1, g2, rtol=2e-4, atol=2e-4 * scale)

@@ -314,15 +314,28 @@ def _gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces, win_pieces=0,
     return jnp.concatenate(chunks, axis=1)
 
 
+def _build_wbc_chunk(i0q, i1q, fbq, b_inq, qoff, Wc, dtype):
+    """One-hot column-resample matrix for one (slice, output chunk):
+    Wbc[src_rel, out] = (1-fb)*(src == qoff*128 + src_rel taps) with the
+    in-box mask folded, so  sigma[:, chunk] = t_window @ Wbc  runs on
+    the MXU instead of the VPU lane gathers (which measured ~2/3 of
+    kernel time). Lane-friendly build: the tap vectors stay on lanes,
+    the src iota is on sublanes — no lane->sublane transposes. Correct
+    for clipped AND wrapped taps (equality against arbitrary in-range
+    indices); qoff=0/Wc=B is the full-width form."""
+    rows = qoff * LANES + jax.lax.broadcasted_iota(
+        jnp.int32, (Wc, LANES), 0)
+    w0 = ((1.0 - fbq) * b_inq)[None, :]
+    w1 = (fbq * b_inq)[None, :]
+    return (jnp.where(rows == i0q[None, :], w0, 0.0)
+            + jnp.where(rows == i1q[None, :], w1, 0.0)).astype(dtype)
+
+
 def _build_wbc_full(i0, i1, fb, b_in, B, Wb_n, dtype):
-    """One-hot column-resample matrices for ONE slice, all output chunks:
-    Wbc[q][src, out] = (1-fb)*(src == i0) + fb*(src == i1) with the
-    in-box mask folded, so  sigma[:, q-chunk] = t @ Wbc[q]  runs on the
-    MXU instead of the VPU lane gathers (which measured ~2/3 of kernel
-    time). Lane-friendly build: the tap vectors stay on lanes, the src
-    iota is on sublanes — no lane->sublane transposes. Stacked
-    (n_q, B, LANES). Correct for clipped AND wrapped taps (equality
-    against arbitrary in-range indices)."""
+    """All output chunks' one-hot matrices for ONE slice, stacked
+    (n_q, B, LANES), built as one value -> ONE bulk scratch write (the
+    per-chunk predicated-write form measured ~1.5x slower backward —
+    Mosaic schedules the bulk form far better)."""
     n_q = Wb_n // LANES
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 0)
     mats = []
@@ -336,8 +349,8 @@ def _build_wbc_full(i0, i1, fb, b_in, B, Wb_n, dtype):
 
 
 def _apply_wbc(t, wbc_c):
-    """t (RB, >=B) @ per-chunk one-hot matrices (n_q, B, LANES) ->
-    (RB, Wb_n). Output includes the in-box mask (folded into weights)."""
+    """t (RB, >=B) @ stacked per-chunk matrices (n_q, B, LANES) ->
+    (RB, Wb_n); one bulk read, static chunk indexing."""
     B = wbc_c.shape[1]
     tm = t[:, :B]
     if wbc_c.dtype == jnp.bfloat16:
@@ -345,6 +358,54 @@ def _apply_wbc(t, wbc_c):
     return jnp.concatenate(
         [jnp.dot(tm, wbc_c[q], preferred_element_type=jnp.float32)
          for q in range(wbc_c.shape[0])], axis=1)
+
+
+def _colmm_cols(t, i0, i1, fb, b_in, B, Wb_n, n_pieces, win, ts_ref,
+                wbc_ref, qoff_ref, c, build_pred):
+    """Matmul column stage: per 128-lane output chunk, contract t (or a
+    dynamic window of it, staged in ts_ref — value lane-slicing does not
+    lower) against the chunk's one-hot matrix. wbc_ref/qoff_ref given:
+    matrices live in scratch, built under build_pred (the sc-major
+    backward amortizes them across row blocks); wbc_ref None: built per
+    use (the rb-major forward — still beats the gathers, measured).
+    Output includes the in-box mask (folded into the weights)."""
+    n_q = Wb_n // LANES
+    windowed = 0 < win < n_pieces and ts_ref is not None
+    Wc = win * LANES if windowed else B
+    if windowed:
+        ts_ref[:] = t
+    chunks = []
+    for q in range(n_q):
+        sl = slice(q * LANES, (q + 1) * LANES)
+        if windowed:
+            lo_q = jnp.min(jnp.where(b_in[sl] > 0.0, i0[sl],
+                                     n_pieces * LANES - 1))
+            qoff = jnp.clip(lo_q // LANES, 0, n_pieces - win)
+        else:
+            qoff = 0
+        if wbc_ref is not None:
+            @pl.when(build_pred)
+            def _(q=q, sl=sl, qoff=qoff):
+                if windowed:
+                    qoff_ref[c, q] = qoff
+                wbc_ref[c, q] = _build_wbc_chunk(
+                    i0[sl], i1[sl], fb[sl], b_in[sl], qoff, Wc,
+                    wbc_ref.dtype)
+            W = wbc_ref[c, q]
+            if windowed:
+                qoff = qoff_ref[c, q]
+        else:
+            W = _build_wbc_chunk(i0[sl], i1[sl], fb[sl], b_in[sl], qoff,
+                                 Wc, jnp.float32)
+        if windowed:
+            base = pl.multiple_of(qoff * LANES, LANES)
+            tm = ts_ref[:, pl.ds(base, Wc)]
+        else:
+            tm = t[:, :B]
+        if W.dtype == jnp.bfloat16:
+            tm = tm.astype(jnp.bfloat16)
+        chunks.append(jnp.dot(tm, W, preferred_element_type=jnp.float32))
+    return jnp.concatenate(chunks, axis=1)
 
 
 def _col_taps(e_b, delta, ug_row, B, wrap=False):
@@ -376,7 +437,7 @@ def _col_taps(e_b, delta, ug_row, B, wrap=False):
 def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                 has_light, with_ckpt, wrap, n_win, cwin, colmm):
     ts_s = None
-    if cwin and not colmm:
+    if cwin:
         refs, ts_s = refs[:-1], refs[-1]
     ng = max(n_win, 1)  # windowed: n_win granule refs; dense: 1 full ref
     i = 0
@@ -432,9 +493,9 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                                          wrap)
             Wb_n = ug_ref.shape[1]
             if colmm:
-                wbc = _build_wbc_full(i0, i1, fb, b_in, B, Wb_n,
-                                      jnp.float32)
-                sigma = _apply_wbc(t, wbc) * sscale
+                sigma = _colmm_cols(t, i0, i1, fb, b_in, B, Wb_n,
+                                    n_pieces, cwin, ts_s, None, None, c,
+                                    False) * sscale
             else:
                 sigma = (_gather_cols(t, i0, i1, fb, b_in, Wb_n,
                                       n_pieces, cwin, ts_s)
@@ -445,7 +506,9 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                                         preferred_element_type=jnp.float32),
                                 B)
                 if colmm:
-                    lT = _apply_wbc(tl, wbc)
+                    lT = _colmm_cols(tl, i0, i1, fb, b_in, B, Wb_n,
+                                     n_pieces, cwin, ts_s, None, None, c,
+                                     False)
                 else:
                     lT = _gather_cols(tl, i0, i1, fb, b_in, Wb_n,
                                       n_pieces, cwin, ts_s)
@@ -528,7 +591,7 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=([pltpu.VMEM((RB, max(B, LANES)), jnp.float32)]
-                        if (cwin and not colmm) else []),
+                        if cwin else []),
     )
     light_mul = 2 if has_light else 1
     return pl.pallas_call(
@@ -558,10 +621,10 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
 def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                 has_light, wrap, n_win, cwin, swin, colmm):
     wbc_s = ts_s = None
+    if cwin:
+        refs, ts_s = refs[:-1], refs[-1]
     if colmm:
         refs, wbc_s = refs[:-1], refs[-1]
-    elif cwin:
-        refs, ts_s = refs[:-1], refs[-1]
     if swin:
         refs, wbm_s, joff_s, mat_s = refs[:-3], refs[-3], refs[-2], refs[-1]
     else:
@@ -641,15 +704,6 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
         i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B,
                                          wrap)
 
-        if colmm:
-            # MXU column stage (see _build_wbc_full): matrices built once
-            # per slice at the first row block, shared by all row blocks
-            # (this grid is sc-major, so the scratch slot stays live).
-            @pl.when(rb == 0)
-            def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
-                wbc_s[c] = _build_wbc_full(i0, i1, fb, b_in, B, Wb_n,
-                                           wbc_s.dtype)
-
         if emission:
             # Recompute sigma exactly as the forward kernel did (the
             # matmul column stage sums the same two taps — equal up to
@@ -657,6 +711,17 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
             t = _pad_lanes(jnp.dot(wa_ref[c], vol_win(g_ref, c),
                                    preferred_element_type=jnp.float32), B)
             if colmm:
+                # MXU column stage: matrices built once per slice at the
+                # first row block (ONE bulk scratch write — the
+                # per-chunk predicated form measured ~1.5x slower bwd),
+                # shared by all row blocks (sc-major grid keeps the slot
+                # live). FULL-width contraction: the windowed form
+                # (dynamic ts-staged loads + SMEM offsets) also measured
+                # slower here; only the rb-major forward windows.
+                @pl.when(rb == 0)
+                def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
+                    wbc_s[c] = _build_wbc_full(i0, i1, fb, b_in, B,
+                                               Wb_n, wbc_s.dtype)
                 sigma = _apply_wbc(t, wbc_s[c]) * sscale
             else:
                 sigma = (_gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces,
@@ -826,10 +891,13 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
                    pltpu.VMEM((RB, Wb_n), jnp.float32)]
     else:
         scratch = [pltpu.VMEM((ch, Wb_n, B), gperm.dtype)]
+    # order must mirror _bwd_kernel's pops: [..., wbc][, ts last]
     if colmm:
+        # full-width stacked matrices (both the windowed form and the
+        # per-chunk predicated-write form measured slower in bwd)
         scratch.append(pltpu.VMEM((ch, Wb_n // LANES, B, LANES),
                                   gperm.dtype))
-    elif cwin:
+    if cwin:
         scratch.append(pltpu.VMEM((RB, max(B, LANES)), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1135,7 +1203,7 @@ def _col_taps_ref(e_b, delta, ug_row, B, sc, offb):
 
 
 def _fwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
-                    with_ckpt, has_light):
+                    with_ckpt, has_light, colmm):
     i = 0
     l_ref = refs[i]; i += 1          # (ch, NCH, A, B) lerped layers
     wa_ref = refs[i]; i += 1         # (ch, NCH, RB, A)
@@ -1185,8 +1253,14 @@ def _fwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
                 i0, i1, fb, b_in = _col_taps_ref(
                     e_b, delta, ug_ref[0, :], B,
                     params_ref[8 + c], params_ref[12 + c])
-                r.append(_gather_cols(t, i0, i1, fb, b_in, Wb_n,
-                                      n_pieces))
+                if colmm:
+                    # MXU column stage (built per use — this grid is
+                    # rb-major; measured faster than the gathers anyway)
+                    r.append(_apply_wbc(t, _build_wbc_full(
+                        i0, i1, fb, b_in, B, Wb_n, jnp.float32)))
+                else:
+                    r.append(_gather_cols(t, i0, i1, fb, b_in, Wb_n,
+                                          n_pieces))
             sigma = (r[0] * r[1]) * (r[2] + r[3]) * (sscale * b_in[None, :])
 
             if has_light:
@@ -1264,9 +1338,12 @@ def _run_fwd_ref(lperm4, lvperm, wal_all, slice_z, wa_all, u_grid,
         in_specs=in_specs,
         out_specs=out_specs,
     )
+    colmm = (_COL_STAGE in ("auto", "mm", "1") and B % LANES == 0
+             and Wb_n % LANES == 0)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_ref, emission=emission, ch=ch,
-                          with_ckpt=with_ckpt, has_light=has_light),
+                          with_ckpt=with_ckpt, has_light=has_light,
+                          colmm=colmm),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -1283,7 +1360,10 @@ def _run_fwd_ref(lperm4, lvperm, wal_all, slice_z, wa_all, u_grid,
 
 
 def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
-                    has_light):
+                    has_light, colmm):
+    wbc4_s = None
+    if colmm:
+        refs, wbc4_s = refs[:-1], refs[-1]
     i = 0
     l_ref = refs[i]; i += 1
     wa_ref = refs[i]; i += 1
@@ -1346,7 +1426,17 @@ def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
                 e_b, delta, ug_ref[0, :], B,
                 params_ref[8 + c], params_ref[12 + c])
             taps.append((i0, i1, fb))
-            r.append(_gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces))
+            if colmm:
+                # per-(slice, channel) matrices built once at the first
+                # row block (sc-major grid; ONE bulk write per channel)
+                @pl.when(rb == 0)
+                def _(s=s, c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
+                    wbc4_s[s, c] = _build_wbc_full(i0, i1, fb, b_in, B,
+                                                   Wb_n, wbc4_s.dtype)
+                r.append(_apply_wbc(t, wbc4_s[s, c]))
+            else:
+                r.append(_gather_cols(t, i0, i1, fb, b_in, Wb_n,
+                                      n_pieces))
         sigma = (r[0] * r[1]) * (r[2] + r[3]) * (sscale * b_in[None, :])
 
         if has_light:
@@ -1472,16 +1562,20 @@ def _run_bwd_ref(lperm4, lvperm, wal_all, slice_z, wa_all, u_grid,
                                       lambda sc, rb, *_: (sc, 0, 0),
                                       memory_space=vm))
         out_shape.append(jax.ShapeDtypeStruct((S, A, B), jnp.float32))
+    colmm = (_COL_STAGE in ("auto", "mm", "1") and B % LANES == 0
+             and Wb_n % LANES == 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_sc, n_rb),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=([pltpu.VMEM((ch, NCH, Wb_n // LANES, B, LANES),
+                                    lperm4.dtype)] if colmm else []),
     )
     light_mul = 2 if has_light else 1
     out = pl.pallas_call(
         functools.partial(_bwd_kernel_ref, emission=emission, ch=ch,
-                          has_light=has_light),
+                          has_light=has_light, colmm=colmm),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
