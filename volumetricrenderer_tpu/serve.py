@@ -25,7 +25,6 @@ like the reference's single window); rendering is serialized by a lock
 """
 from __future__ import annotations
 
-import io
 import json
 import math
 import threading
