@@ -1126,8 +1126,18 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
             dg, _ = run_bwd(g, None, ct, trans, wsum, tck, wck, slice_z,
                             wa, ug, seg, params, rowoff)
             # cotangent dtype must match the primal's (dG accumulates
-            # f32 in-kernel either way)
-            return (dg.astype(g.dtype),) + plan_zeros(
+            # f32 in-kernel either way).
+            # optimization_barrier: XLA may otherwise fuse/schedule the
+            # gradient's CONSUMERS (e.g. an optimizer update whose jit
+            # also returns the updated grid) into the backward kernel's
+            # region, corrupting dG — observed on chip as a
+            # deterministic, compilation-context-dependent half-wrong
+            # gradient: the grad-only jit of the SAME loss was correct,
+            # while a train-step jit returning the updated grid lost
+            # ~half the gradient mass (rel err ~1.0). Barriering the
+            # kernel output fixes it and is free at run time.
+            dg = jax.lax.optimization_barrier(dg.astype(g.dtype))
+            return (dg,) + plan_zeros(
                 slice_z, wa, ug, seg, params, rowoff)
 
         f.defvjp(f_fwd, f_bwd)
@@ -1152,7 +1162,10 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
                          ug, seg, params, rowoff)
         if dl is None:
             dl = jnp.zeros_like(l)
-        return (dg.astype(g.dtype), dl.astype(l.dtype)) + plan_zeros(
+        # optimization_barrier: see f_bwd above.
+        dg, dl = jax.lax.optimization_barrier(
+            (dg.astype(g.dtype), dl.astype(l.dtype)))
+        return (dg, dl) + plan_zeros(
             slice_z, wa, ug, seg, params, rowoff)
 
     f2.defvjp(f2_fwd, f2_bwd)
@@ -1737,8 +1750,9 @@ def _fused_vjp_ref(emission, has_light, interpret):
                 dL, _ = _run_bwd_ref(L, None, None, slice_z, wa, ug, seg,
                                      params, False, None, None, None,
                                      None, ct_acc, interpret)
-            return (dL.astype(L.dtype),) + plan_zeros(slice_z, wa, ug,
-                                                      seg, params)
+            # optimization_barrier: see _fused_vjp.f_bwd.
+            dL = jax.lax.optimization_barrier(dL.astype(L.dtype))
+            return (dL,) + plan_zeros(slice_z, wa, ug, seg, params)
 
         f.defvjp(f_fwd, f_bwd)
         return f
@@ -1771,7 +1785,10 @@ def _fused_vjp_ref(emission, has_light, interpret):
                                    ct_acc, interpret)
         if dlv is None:
             dlv = jnp.zeros_like(lv)
-        return (dL.astype(L.dtype), dlv.astype(lv.dtype),
+        # optimization_barrier: see _fused_vjp.f_bwd.
+        dL, dlv = jax.lax.optimization_barrier(
+            (dL.astype(L.dtype), dlv.astype(lv.dtype)))
+        return (dL, dlv,
                 jnp.zeros_like(wal)) + plan_zeros(slice_z, wa, ug, seg,
                                                   params)
 

@@ -56,6 +56,37 @@ from .camera import Camera, camera_rays
 from .resample import linear_resample_matrix
 from .sampling import apply_address_mode
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _perm_guard(grid, perm):
+    """transpose(grid, perm) whose COTANGENT is pinned behind an
+    optimization barrier.
+
+    Why: with the fused Pallas sweep, XLA may fuse the autodiff-generated
+    inverse transpose of the kernel's dG output together with the
+    gradient's *consumers* (observed trigger: a jitted Adam train step
+    that also returns the updated grid) and mis-compile it — a
+    deterministic, compilation-context-dependent gradient corruption
+    (~half the gradient mass lost, rel err ~1.0 vs the grad-only jit of
+    the *same* loss, probed on a v5e chip). Barriering the Pallas output
+    itself inside the kernel's custom_vjp does NOT help — the bad fusion
+    is around the transpose — so the transpose owns its own vjp here and
+    barriers its output. Free at run time (scheduling constraint only).
+    """
+    return jnp.transpose(grid, perm)
+
+
+def _perm_guard_fwd(grid, perm):
+    return jnp.transpose(grid, perm), None
+
+
+def _perm_guard_bwd(perm, _, ct):
+    inv = tuple(int(i) for i in np.argsort(np.asarray(perm)))
+    return (jax.lax.optimization_barrier(jnp.transpose(ct, inv)),)
+
+
+_perm_guard.defvjp(_perm_guard_fwd, _perm_guard_bwd)
+
+
 __all__ = ["SweepPlan", "plan_sweep", "plan_base_dims", "plan_signature",
            "with_warp_band", "sweep_render", "base_rays",
            "warp_base_to_pixels", "composite_base_maps", "finish_image"]
@@ -1262,8 +1293,8 @@ def sweep_render(
     supports it, kernels/sweep_pallas.py); True forces, False disables.
     """
     squeeze_c = grid.ndim == 3
-    gperm = jnp.transpose(grid, plan.perm + ((3,) if not squeeze_c else ()))
-    lperm = (jnp.transpose(light_volume, plan.perm)
+    gperm = _perm_guard(grid, plan.perm + ((3,) if not squeeze_c else ()))
+    lperm = (_perm_guard(light_volume, plan.perm)
              if light_volume is not None else None)
 
     from ..kernels import sweep_pallas as _sp

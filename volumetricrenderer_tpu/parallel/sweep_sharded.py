@@ -37,9 +37,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import LightConfig, MediumConfig, RenderConfig
-from ..ops.sweep import (SweepPlan, _in01, _sweep_base, composite_base_maps,
-                         finish_image, postwarp_pixels, warp_band,
-                         warp_inputs)
+from ..ops.sweep import (SweepPlan, _in01, _perm_guard, _sweep_base,
+                         composite_base_maps, finish_image, postwarp_pixels,
+                         warp_band, warp_inputs)
 from .mesh import DATA_AXIS, SLAB_AXIS
 
 __all__ = ["sweep_render_sharded", "make_sweep_train_step"]
@@ -131,7 +131,9 @@ def sweep_render_sharded(
 
     n_slab = mesh.shape[SLAB_AXIS]
     squeeze_c = grid.ndim == 3
-    gperm = jnp.transpose(grid, plan.perm + ((3,) if not squeeze_c else ()))
+    # _perm_guard (not jnp.transpose): pins the gradient's inverse
+    # transpose behind an optimization barrier — see ops/sweep.py.
+    gperm = _perm_guard(grid, plan.perm + ((3,) if not squeeze_c else ()))
     depth_total = gperm.shape[0]
     if depth_total % n_slab or plan.slice_z.shape[0] != depth_total:
         raise ValueError("sharded sweep needs slab | depth and slices at "
