@@ -82,3 +82,54 @@ def test_fit_recovers_target():
                    steps=60, learning_rate=5e-2)
     assert res.losses[-1] < res.losses[0] * 0.1
     assert np.all(np.isfinite(np.asarray(res.grid)))
+
+
+def test_perm_guard_grad_matches_plain_transpose():
+    # ops/sweep._perm_guard is a custom-vjp transpose whose cotangent is
+    # pinned behind an optimization barrier (guards against an XLA
+    # fusion mis-compile observed on TPU: a train-step jit that returned
+    # the updated grid corrupted the sweep gradient; see ROUND4_NOTES.md).
+    # Its value AND gradient must match jnp.transpose exactly, including
+    # under a jitted optimizer-step-shaped graph.
+    import optax
+    from volumetricrenderer_tpu.ops.sweep import _perm_guard
+
+    g = jnp.asarray(
+        np.random.default_rng(2).uniform(size=(3, 4, 5)), jnp.float32)
+    perm = (2, 0, 1)
+    w = jnp.asarray(
+        np.random.default_rng(3).uniform(size=(5, 3, 4)), jnp.float32)
+
+    def loss_guarded(x):
+        return jnp.sum(_perm_guard(x, perm) * w)
+
+    def loss_plain(x):
+        return jnp.sum(jnp.transpose(x, perm) * w)
+
+    np.testing.assert_array_equal(
+        np.asarray(_perm_guard(g, perm)), np.asarray(jnp.transpose(g, perm)))
+    np.testing.assert_array_equal(np.asarray(jax.grad(loss_guarded)(g)),
+                                  np.asarray(jax.grad(loss_plain)(g)))
+
+    # 4-d (channelled grid) permute, and the step-shaped context that
+    # triggered the TPU bug: value_and_grad + adam update + clip, jitted,
+    # returning the updated array alongside the gradient.
+    g4 = jnp.asarray(
+        np.random.default_rng(4).uniform(size=(3, 4, 5, 2)), jnp.float32)
+    p4 = (2, 0, 1, 3)
+    np.testing.assert_array_equal(np.asarray(_perm_guard(g4, p4)),
+                                  np.asarray(jnp.transpose(g4, p4)))
+
+    opt = optax.adam(1e-2)
+    st = opt.init(g)
+
+    @jax.jit
+    def step(x, s):
+        l, gr = jax.value_and_grad(loss_guarded)(x)
+        u, s = opt.update(gr, s, x)
+        newx = jnp.clip(optax.apply_updates(x, u), 0.0, 1.0)
+        return newx, s, l, gr
+
+    _, _, _, gr = step(g, st)
+    np.testing.assert_array_equal(np.asarray(gr),
+                                  np.asarray(jax.grad(loss_plain)(g)))
