@@ -33,8 +33,10 @@ def _free_port():
 
 def test_interactive_renderer_state_and_frames():
     r = InteractiveRenderer(_small_preset(), probe=4)
-    f0 = r.render_frame().astype(np.int32)  # uint8 RGBA (present format)
-    assert f0.shape == (48, 64, 4)
+    # uint8 RGB composited over the page background on device (present
+    # format; alpha is baked in to cut tunnel download bytes)
+    f0 = r.render_frame().astype(np.int32)
+    assert f0.shape == (48, 64, 3)
     st0 = dict(r.state())
     r.key("a")
     r.key("w")

@@ -46,6 +46,15 @@ _EL_STEP = 0.08
 _DOLLY = 1.08
 _TIME_STEP = 0.25
 
+# The viewer page's background (#111): frames are composited over it on
+# DEVICE and shipped as RGB — same pixels the browser showed for the
+# RGBA PNG, 25% fewer tunnel bytes.
+_PAGE_BG = 0x11 / 255.0
+
+# Render loop idles (stops dispatching frames) when no viewer has asked
+# for one within this window.
+_IDLE_S = 5.0
+
 
 class InteractiveRenderer:
     """Camera/clock state + cached-executable rendering for the live loop.
@@ -272,11 +281,17 @@ class InteractiveRenderer:
                 img = render_image(g, None, cfg, medium, light,
                                    scroll=scroll, plan=plan,
                                    light_volume=lv, backend="sweep")
-                # uint8 ON DEVICE: the image download dominates the live
-                # frame through the tunnel (measured 126 of 140 ms for
-                # f32 RGBA at 512^2); 8-bit unorm is the present format
-                # anyway (the reference's swapchain is RGBA8)
-                return jnp.clip(img * 255.0 + 0.5, 0.0,
+                # uint8 RGB ON DEVICE: the image download dominates the
+                # live frame through the tunnel (measured 126 of 140 ms
+                # for f32 RGBA at 512^2, and still 56 of ~95 ms for
+                # uint8 RGBA); 8-bit unorm is the present format anyway
+                # (the reference's swapchain is RGBA8). Alpha is
+                # composited over the viewer page's background here —
+                # exactly what the browser did with the RGBA PNG — which
+                # drops another 25% of the downloaded bytes.
+                a = img[..., 3:4]
+                rgb = img[..., :3] * a + _PAGE_BG * (1.0 - a)
+                return jnp.clip(rgb * 255.0 + 0.5, 0.0,
                                 255.0).astype(jnp.uint8)
 
             self._jit_frame = frame_fn
@@ -322,8 +337,79 @@ window.addEventListener('keydown', e => {
 </script></body></html>"""
 
 
-def _make_handler(renderer: InteractiveRenderer, render_lock):
+class FrameLoop:
+    """Free-running render loop + latest-frame buffer — the reference's
+    continuous while-loop renderer (TestMain.cpp:173-256 renders EVERY
+    iteration, input or not) with HTTP as the swapchain.
+
+    One thread renders the current interaction state back-to-back,
+    saturating the tunnel's serial dispatch+download path; `/frame.png`
+    blocks until a frame NEWER than the one it last served exists, so a
+    client's PNG-encode/transfer/decode time overlaps the next frame's
+    render instead of adding to it (measured: the blocking render-per-
+    request loop was ~95 ms serial per frame — 29 dispatch + 56 download
+    + 10 png — of which only the render belongs on the critical path).
+    The loop idles after _IDLE_S without a frame request."""
+
+    def __init__(self, renderer: InteractiveRenderer):
+        self.renderer = renderer
+        self.cond = threading.Condition()
+        self.seq = 0
+        self.img: Optional[np.ndarray] = None
+        self._last_want = time.perf_counter()
+        self._stop = False
+        self._err: Optional[BaseException] = None
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        while True:
+            with self.cond:
+                if self._stop:
+                    return
+                idle = time.perf_counter() - self._last_want > _IDLE_S
+            if idle:
+                time.sleep(0.05)
+                continue
+            try:
+                img = self.renderer.render_frame()
+            except BaseException as e:  # surface in the handler, keep loop
+                with self.cond:
+                    self._err = e
+                    self.cond.notify_all()
+                time.sleep(0.5)
+                continue
+            with self.cond:
+                self.seq += 1
+                self.img = img
+                self.cond.notify_all()
+
+    def next_frame(self, after_seq: int, timeout: float = 600.0):
+        """Block until a frame with seq > after_seq; return (seq, img)."""
+        with self.cond:
+            self._last_want = time.perf_counter()
+            self.cond.notify_all()
+            ok = self.cond.wait_for(
+                lambda: self.seq > after_seq or self._err is not None
+                or self._stop, timeout)
+            if self._err is not None:
+                err, self._err = self._err, None
+                raise err
+            if not ok or self._stop:
+                raise TimeoutError("no frame rendered in time")
+            return self.seq, self.img
+
+    def stop(self):
+        with self.cond:
+            self._stop = True
+            self.cond.notify_all()
+        self.thread.join(timeout=30)
+
+
+def _make_handler(loop: FrameLoop):
     from .utils.image import encode_png
+
+    renderer = loop.renderer
 
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 keep-alive: per-request connections intermittently eat
@@ -337,6 +423,13 @@ def _make_handler(renderer: InteractiveRenderer, render_lock):
         def log_message(self, *a):  # quiet
             pass
 
+        def setup(self):
+            super().setup()
+            # per-connection frame cursor: each keep-alive viewer gets
+            # every frame at most once (never the same frame twice, so
+            # reported fps is honest render throughput)
+            self._served_seq = 0
+
         def _send(self, code, ctype, body):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
@@ -348,8 +441,8 @@ def _make_handler(renderer: InteractiveRenderer, render_lock):
         def do_GET(self):
             try:
                 if self.path.startswith("/frame.png"):
-                    with render_lock:  # one chip, one render at a time
-                        img = renderer.render_frame()
+                    self._served_seq, img = loop.next_frame(
+                        self._served_seq)
                     # low compression: encode latency is frame latency
                     png = encode_png(img, level=1)
                     self._send(200, "image/png", png)
@@ -376,9 +469,8 @@ def serve(preset, port: int = 8788, frames: Optional[int] = None):
     events and fetch N frames through the real HTTP stack, report fps,
     then exit (the headless CI/evidence mode; INTERACTIVE_r4.json)."""
     renderer = InteractiveRenderer(preset)
-    render_lock = threading.Lock()
-    httpd = ThreadingHTTPServer(("0.0.0.0", port),
-                                _make_handler(renderer, render_lock))
+    loop = FrameLoop(renderer)
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), _make_handler(loop))
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     renderer.log.info("serving live renderer on http://localhost:%d", port)
@@ -389,6 +481,7 @@ def serve(preset, port: int = 8788, frames: Optional[int] = None):
         except KeyboardInterrupt:
             pass
         finally:
+            loop.stop()
             httpd.shutdown()
         return None
 
@@ -424,6 +517,7 @@ def serve(preset, port: int = 8788, frames: Optional[int] = None):
     dt = time.perf_counter() - t0
     state = json.loads(get("/state"))
     conn.close()
+    loop.stop()
     httpd.shutdown()
     result = {
         "what": "live interactive loop: HTTP key events mutate orbit "
