@@ -250,7 +250,13 @@ class InteractiveRenderer:
                 "frames": self.frames_rendered}
 
     # -- the frame loop body (TestMain.cpp:226-244 analogue) -----------
-    def render_frame(self) -> np.ndarray:
+    def dispatch_frame(self):
+        """Enqueue one frame render for the CURRENT interaction state and
+        return the (not yet ready) device array — the async half of the
+        frames-in-flight pipeline (the reference runs
+        MAX_FRAMES_IN_FLIGHT=2, VulkanRenderer.h:60: frame N+1 records
+        while N is still on the GPU; here frame N+1 computes on chip
+        while N's pixels download through the tunnel)."""
         import jax
         import jax.numpy as jnp
 
@@ -295,8 +301,7 @@ class InteractiveRenderer:
                                 255.0).astype(jnp.uint8)
 
             self._jit_frame = frame_fn
-        img = jax.block_until_ready(self._jit_frame(self.grid, plan,
-                                                    scroll))
+        img = self._jit_frame(self.grid, plan, scroll)
         from .ops.sweep import plan_signature
         sig = plan_signature(plan)
         if sig not in self._signatures:
@@ -304,7 +309,11 @@ class InteractiveRenderer:
             self.log.info("serve: compiled executable %d (sig %s)",
                           len(self._signatures), sig)
         self.frames_rendered += 1
-        return np.asarray(img)
+        return img
+
+    def render_frame(self) -> np.ndarray:
+        """Dispatch + fetch one frame synchronously (tests, one-offs)."""
+        return np.asarray(self.dispatch_frame())
 
 
 INDEX_HTML = """<!doctype html>
@@ -363,26 +372,36 @@ class FrameLoop:
         self.thread.start()
 
     def _run(self):
+        # Two frames in flight (the reference's MAX_FRAMES_IN_FLIGHT=2):
+        # dispatch frame N+1 (async — XLA queues it on the device), THEN
+        # fetch frame N's pixels; N's download through the tunnel
+        # overlaps N+1's on-chip compute. Measured at 512^2: serial
+        # dispatch-wait (29 ms) + download was the loop floor; with the
+        # pipeline only max(download, compute) paces it.
+        pending = None
         while True:
             with self.cond:
                 if self._stop:
                     return
                 idle = time.perf_counter() - self._last_want > _IDLE_S
-            if idle:
+            if idle and pending is None:
                 time.sleep(0.05)
                 continue
             try:
-                img = self.renderer.render_frame()
+                cur = None if idle else self.renderer.dispatch_frame()
+                if pending is not None:
+                    img = np.asarray(pending)  # downloads frame N
+                    with self.cond:
+                        self.seq += 1
+                        self.img = img
+                        self.cond.notify_all()
+                pending = cur
             except BaseException as e:  # surface in the handler, keep loop
+                pending = None
                 with self.cond:
                     self._err = e
                     self.cond.notify_all()
                 time.sleep(0.5)
-                continue
-            with self.cond:
-                self.seq += 1
-                self.img = img
-                self.cond.notify_all()
 
     def next_frame(self, after_seq: int, timeout: float = 600.0):
         """Block until a frame with seq > after_seq; return (seq, img)."""
