@@ -616,6 +616,13 @@ def _clamp_tile_lo(tile_lo, max_r, max_c):
 
 _WARP_TILE_ENV = _os.environ.get("VOLT_WARP_TILE", "")
 _WARP_UNROLL = int(_os.environ.get("VOLT_WARP_UNROLL", 4))
+# Warp matmul operand dtype (A/B knob): "bf16" casts the tap-weight and
+# tile operands of the warp einsums to bfloat16 (accumulation stays f32
+# via preferred_element_type). The fwd warp's matmuls contract K=tile=96
+# — MXU-underfed in f32 — so bf16 halves their issue cost.
+_WARP_MM_DTYPE = (jnp.bfloat16
+                  if _os.environ.get("VOLT_WARP_DTYPE", "") == "bf16"
+                  else jnp.float32)
 
 
 def _pick_warp_tile(Hb: int, Wb: int) -> int:
@@ -827,13 +834,14 @@ def _warp_windowed_fwd(base, rows01, cols01, tile_lo, band, tile):
             rows01, (lo[0], lo[1]), (band_r, band_c)).reshape(-1)
         cc = jax.lax.dynamic_slice(
             cols01, (lo[0], lo[1]), (band_r, band_c)).reshape(-1)
-        R = _tap_weights(rr, Hb, ro, tile)               # (P, tile)
-        Cm = _tap_weights(cc, Wb, co, tile)
+        R = _tap_weights(rr, Hb, ro, tile).astype(_WARP_MM_DTYPE)
+        Cm = _tap_weights(cc, Wb, co, tile).astype(_WARP_MM_DTYPE)
         tile_vals = jax.lax.dynamic_slice(base, (ro, co, 0),
-                                          (tile, tile, C))
+                                          (tile, tile, C)
+                                          ).astype(_WARP_MM_DTYPE)
         mid = jnp.einsum("pa,abc->pbc", R, tile_vals,
                          preferred_element_type=jnp.float32)
-        contrib = jnp.einsum("pbc,pb->pc", mid, Cm,
+        contrib = jnp.einsum("pbc,pb->pc", mid.astype(_WARP_MM_DTYPE), Cm,
                              preferred_element_type=jnp.float32)
         # Inactive tiles (no valid pixel taps them) are gated off: their
         # rect defaults to (0, 0) and clamped out-of-footprint taps must
