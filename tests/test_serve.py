@@ -72,3 +72,41 @@ def test_serve_state_endpoint_is_json():
     assert set(res["final_state"]) >= {"azim", "elev", "dist", "t",
                                        "playing"}
     json.dumps(res)  # artifact-serializable
+
+
+def test_azimuth_lattice_wraps_exactly():
+    # ADVICE r4: azim must live on an exact periodic lattice so a full
+    # orbit revisits cached plans instead of minting new cache keys.
+    from volumetricrenderer_tpu.serve import N_AZ
+    r = InteractiveRenderer(_small_preset(), probe=4)
+    az0 = r.azim
+    seen = set()
+    for _ in range(N_AZ):
+        seen.add(round(r.azim, 9))
+        r.key("d")
+    assert r.azim == pytest.approx(az0, abs=1e-12)  # exact wrap
+    assert len(seen) == N_AZ
+    # going backwards hits the same lattice points
+    for _ in range(3):
+        r.key("a")
+    assert round(r.azim, 9) in seen
+
+
+def test_frameloop_error_is_sticky_until_next_frame():
+    # ADVICE r4: a render error must fail EVERY concurrent waiter fast,
+    # not just the first one.
+    from volumetricrenderer_tpu.serve import FrameLoop
+
+    class Boom:
+        frames_rendered = 0
+
+        def dispatch_frame(self):
+            raise RuntimeError("render broke")
+
+    loop = FrameLoop(Boom())
+    try:
+        for _ in range(2):  # every waiter sees the sticky error
+            with pytest.raises(RuntimeError, match="render broke"):
+                loop.next_frame(0, timeout=10)
+    finally:
+        loop.stop()

@@ -71,6 +71,12 @@ def _perm_guard(grid, perm):
     itself inside the kernel's custom_vjp does NOT help — the bad fusion
     is around the transpose — so the transpose owns its own vjp here and
     barriers its output. Free at run time (scheduling constraint only).
+
+    Contract (ADVICE r4): custom_vjp makes this REVERSE-MODE only —
+    jvp/linearize through any sweep path (including the pure-jnp
+    fallback) raises. Nothing in-repo uses forward-mode; if that ever
+    changes, guard only the Pallas paths (the mis-compile was observed
+    with the fused kernels on TPU).
     """
     return jnp.transpose(grid, perm)
 
@@ -1120,6 +1126,8 @@ def _sweep_base(
     depth_total=None,
     layer_offset=None,
     chan_slabs=None,
+    lperm_depth=None,
+    lperm_offset=None,
 ):
     """Front-to-back composited base maps (acc, trans, wsum, hit) over an
     explicit slice subset and base-grid subset.
@@ -1194,8 +1202,12 @@ def _sweep_base(
             alpha = live * (
                 1.0 - jnp.exp(-medium.density * sigma * seglen))
             if lperm is not None:
-                lT = _layer_lerp(lperm, z_s, lperm.shape[0],
-                                 cfg.address_mode)
+                # lperm_depth/lperm_offset: lperm may be a slab-LOCAL
+                # block of a depth-lperm_depth light stack (sharded
+                # sweep) — same contract as gperm's layer_offset.
+                lT = _layer_lerp(lperm, z_s,
+                                 lperm_depth or lperm.shape[0],
+                                 cfg.address_mode, lperm_offset)
                 lT = _resample_slice(lT, a01, b01, cfg.address_mode, dtype)
                 shade = lt.ambient + (1.0 - lt.ambient) * jnp.clip(
                     lT, 0.0, 1.0)

@@ -69,6 +69,14 @@ def render_image(
     light_volume=None,
 ):
     """Render one RGBA frame (H, W, 4) from a density grid and camera."""
+    if backend == "pallas":
+        backend = "sweep"  # alias: the Pallas kernels implement "sweep"
+    if backend not in ("auto", "sweep", "reference"):
+        # A typo'd backend must not silently select the per-ray oracle
+        # (the ~1000x cliff the fallback warning below exists for).
+        raise ValueError(
+            f"unknown backend {backend!r}: expected 'auto', 'sweep' "
+            "(alias 'pallas'), or 'reference'")
     if (cfg.quadrature == "sliced" and light is not None
             and light.shadow_steps > 0 and light_volume is None
             and cfg.emission):

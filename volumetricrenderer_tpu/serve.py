@@ -41,7 +41,13 @@ __all__ = ["InteractiveRenderer", "serve", "INDEX_HTML"]
 _EL_LIM = 1.25
 _DIST_MIN, _DIST_MAX = 1.6, 6.0
 
-_AZ_STEP = 0.12
+# Azimuth moves on an EXACT periodic lattice: N_AZ steps per full orbit,
+# so a/d presses cycle through N_AZ distinct cameras and a full orbit
+# revisits cached plans instead of minting new keys forever (the old
+# 0.12 rad step never divided 2*pi, so azim accumulated unboundedly and
+# every orbit churned the 512-entry plan cache — ADVICE r4).
+N_AZ = 52
+_AZ_STEP = 2 * math.pi / N_AZ  # ~0.1208 rad, ~= the old 0.12 feel
 _EL_STEP = 0.08
 _DOLLY = 1.08
 _TIME_STEP = 0.25
@@ -54,6 +60,11 @@ _PAGE_BG = 0x11 / 255.0
 # Render loop idles (stops dispatching frames) when no viewer has asked
 # for one within this window.
 _IDLE_S = 5.0
+
+# Every Nth plan-cache MISS builds one non-trusted plan (device band
+# readback) to audit that the trusted family band still covers the
+# camera family — see InteractiveRenderer._plan_cached.
+_BAND_AUDIT_EVERY = 16
 
 
 class InteractiveRenderer:
@@ -98,7 +109,8 @@ class InteractiveRenderer:
         eye = np.asarray(preset.camera.eye, np.float64) - center
         self.dist = float(np.linalg.norm(eye))
         self.dist = min(max(self.dist, _DIST_MIN), _DIST_MAX)
-        self.azim = math.atan2(eye[1], eye[0])
+        self._az0 = math.atan2(eye[1], eye[0])  # lattice origin
+        self._az_idx = 0                        # integer steps, mod N_AZ
         self.elev = math.atan2(eye[2], math.hypot(eye[0], eye[1]))
         self.elev = min(max(self.elev, -_EL_LIM), _EL_LIM)
         self.media_t = 0.0
@@ -175,11 +187,42 @@ class InteractiveRenderer:
         # same wall-clock the frames needed — measured slower.)
         self._plan_cache = {}
         self._plan_cache_cap = 512
+        self._plan_misses = 0
+
+    @property
+    def azim(self):
+        """Azimuth on the exact periodic lattice (wrapped to one orbit)."""
+        return self._az0 + (self._az_idx % N_AZ) * _AZ_STEP
 
     def _plan_cached(self, az, el, d):
         key = (round(az, 6), round(el, 6), round(d, 6))
         plan = self._plan_cache.get(key)
         if plan is None:
+            self._plan_misses += 1
+            if self._plan_misses % _BAND_AUDIT_EVERY == 1:
+                # Band audit (ADVICE r4): trust_band skips the device
+                # band readback, so an interactive state the probe
+                # lattice never saw could need a larger warp band than
+                # the 25%-padded family one — which would silently clamp
+                # warp tile rects (wrong edge pixels). Periodically
+                # build one NON-trusted plan (one ~30 ms readback) and
+                # grow the family band if it was undersized.
+                probe = self._plan_at(az, el, d, band=None,
+                                      rw=self.row_window)
+                need = probe.warp_band
+                if (need[0] > self.band[0] or need[1] > self.band[1]):
+                    cc = self.preset.camera
+                    grown = (min(-(-max(need[0], self.band[0]) // 16) * 16,
+                                 cc.height),
+                             min(-(-max(need[1], self.band[1]) // 16) * 16,
+                                 cc.width))
+                    self.log.warning(
+                        "serve: family warp band %s undersized for state "
+                        "(az=%.3f el=%.3f d=%.3f, needs %s); growing to "
+                        "%s (new executable)", self.band, az, el, d,
+                        need, grown)
+                    self.band = grown
+                    self._plan_cache.clear()  # stale-band plans
             plan = self._plan_at(az, el, d, self.band, self.row_window)
             if len(self._plan_cache) >= self._plan_cache_cap:
                 self._plan_cache.pop(next(iter(self._plan_cache)))
@@ -224,9 +267,9 @@ class InteractiveRenderer:
     def key(self, k: str):
         with self.lock:
             if k == "a":
-                self.azim -= _AZ_STEP
+                self._az_idx = (self._az_idx - 1) % N_AZ
             elif k == "d":
-                self.azim += _AZ_STEP
+                self._az_idx = (self._az_idx + 1) % N_AZ
             elif k == "q":
                 self.elev = max(self.elev - _EL_STEP, -_EL_LIM)
             elif k == "e":
@@ -394,6 +437,7 @@ class FrameLoop:
                     with self.cond:
                         self.seq += 1
                         self.img = img
+                        self._err = None  # a fresh frame clears the error
                         self.cond.notify_all()
                 pending = cur
             except BaseException as e:  # surface in the handler, keep loop
@@ -412,8 +456,11 @@ class FrameLoop:
                 lambda: self.seq > after_seq or self._err is not None
                 or self._stop, timeout)
             if self._err is not None:
-                err, self._err = self._err, None
-                raise err
+                # STICKY until a new frame succeeds: every concurrent
+                # waiter fails fast instead of only the first one (the
+                # rest would otherwise block out the full timeout while
+                # the loop keeps failing — ADVICE r4).
+                raise self._err
             if not ok or self._stop:
                 raise TimeoutError("no frame rendered in time")
             return self.seq, self.img
@@ -483,13 +530,18 @@ def _make_handler(loop: FrameLoop):
     return Handler
 
 
-def serve(preset, port: int = 8788, frames: Optional[int] = None):
+def serve(preset, port: int = 8788, frames: Optional[int] = None,
+          host: str = "127.0.0.1"):
     """Run the live loop. frames=N: self-drive mode — issue synthetic key
     events and fetch N frames through the real HTTP stack, report fps,
-    then exit (the headless CI/evidence mode; INTERACTIVE_r4.json)."""
+    then exit (the headless CI/evidence mode; INTERACTIVE_r4.json).
+
+    host: bind address. Default loopback — the server exposes camera
+    control and rendered frames with no auth, so exposing it to a
+    network is a deliberate choice (--host 0.0.0.0)."""
     renderer = InteractiveRenderer(preset)
     loop = FrameLoop(renderer)
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), _make_handler(loop))
+    httpd = ThreadingHTTPServer((host, port), _make_handler(loop))
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     renderer.log.info("serving live renderer on http://localhost:%d", port)
