@@ -414,5 +414,12 @@ def test_windowed_scatter_backward_parity():
     pd = dataclasses.replace(plan, scatter_window=0)
     g3, l3 = jax.grad(lambda g, l: loss_p(g, l, pd),
                       argnums=(0, 1))(grid, lvol)
-    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g3))
-    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l3))
+    # Windowed vs dense: near-bitwise. With the r5 sigT backward the
+    # sigma recompute contracts against the scatter matrices themselves,
+    # so the windowed form's per-tile partial sums group f32 additions
+    # differently than the dense single dot — a pure ulp-level
+    # (summation-order) difference, bounded here at ~1e-7 absolute.
+    for a, b in ((g1, g3), (l1, l3)):
+        scale = float(jnp.abs(b).max()) + 1e-12
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6 * scale)

@@ -109,6 +109,21 @@ _COL_STAGE = _os.environ.get("VOLT_COL_STAGE", "auto")
 # cannot live in scratch across row blocks; "mm" builds them per use
 # (A/B'd on chip against the lane gathers).
 _COL_STAGE_FWD = _os.environ.get("VOLT_COL_STAGE_FWD", "auto")
+# Backward sigma-recompute form (round 5). "scatterT" contracts against
+# the TRANSPOSE of the (already-built, windowed) column-scatter matrices
+# Wbm — sigma[:, jwin] += t[:, tile] @ Wbm[tile]^T — so the separate
+# full-width one-hot wbc stack (its build + its (ch, n_q, B, 128)
+# scratch + its unwindowed B-wide contractions, the bulk of the r4
+# backward) disappears: one matrix family serves both the recompute and
+# the scatter, and the contraction inherits the scatter window. Source
+# reads are STATIC 128-lane tiles (the constraint the two reverted r4
+# windowed forms violated); only the output accumulation window is
+# dynamic. "colmm" keeps the r4 full-width form; "auto" resolves to
+# whichever won the committed chip A/B (see PROFILE_r5.json).
+# Read at CALL time (unlike the other knobs) so A/B tools can flip it
+# between jit traces in one process.
+def _bwd_sigma():
+    return _os.environ.get("VOLT_BWD_SIGMA", "auto")
 GRAN = 64    # granule (grid rows) for the windowed row resample below
 
 __all__ = ["supported", "sweep_base_pallas"]
@@ -619,16 +634,21 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
-                has_light, wrap, n_win, cwin, swin, colmm):
-    wbc_s = ts_s = None
+                has_light, wrap, n_win, cwin, swin, colmm, sigT, bigW):
+    wbc_s = ts_s = wbg_s = None
+    wbm_s = joff_s = mat_s = None
     if cwin:
         refs, ts_s = refs[:-1], refs[-1]
     if colmm:
         refs, wbc_s = refs[:-1], refs[-1]
-    if swin:
-        refs, wbm_s, joff_s, mat_s = refs[:-3], refs[-3], refs[-2], refs[-1]
-    else:
-        refs, wbm_s = refs[:-1], refs[-1]
+    if bigW:
+        refs, wbg_s = refs[:-1], refs[-1]
+    if bigW != 2:
+        if swin:
+            refs, wbm_s, joff_s, mat_s = (refs[:-3], refs[-3], refs[-2],
+                                          refs[-1])
+        else:
+            refs, wbm_s = refs[:-1], refs[-1]
     i = 0
     g_ref = refs[i]; i += 1
     wa_ref = refs[i]; i += 1
@@ -704,61 +724,6 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
         i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B,
                                          wrap)
 
-        if emission:
-            # Recompute sigma exactly as the forward kernel did (the
-            # matmul column stage sums the same two taps — equal up to
-            # f32 summation order).
-            t = _pad_lanes(jnp.dot(wa_ref[c], vol_win(g_ref, c),
-                                   preferred_element_type=jnp.float32), B)
-            if colmm:
-                # MXU column stage: matrices built once per slice at the
-                # first row block (ONE bulk scratch write — the
-                # per-chunk predicated form measured ~1.5x slower bwd),
-                # shared by all row blocks (sc-major grid keeps the slot
-                # live). FULL-width contraction: the windowed form
-                # (dynamic ts-staged loads + SMEM offsets) also measured
-                # slower here; only the rb-major forward windows.
-                @pl.when(rb == 0)
-                def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
-                    wbc_s[c] = _build_wbc_full(i0, i1, fb, b_in, B,
-                                               Wb_n, wbc_s.dtype)
-                sigma = _apply_wbc(t, wbc_s[c]) * sscale
-            else:
-                sigma = (_gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces,
-                                      cwin, ts_s)
-                         * b_in[None, :] * sscale)
-            if has_light:
-                tl = _pad_lanes(jnp.dot(wa_ref[c], vol_win(l_ref, c),
-                                        preferred_element_type=jnp.float32),
-                                B)
-                if colmm:
-                    lT = _apply_wbc(tl, wbc_s[c])
-                else:
-                    lT = _gather_cols(tl, i0, i1, fb, b_in, Wb_n,
-                                      n_pieces, cwin, ts_s)
-                shade = ambient + (1.0 - ambient) * jnp.clip(lT, 0.0, 1.0)
-            else:
-                shade = 1.0
-            E = jnp.exp(-density * sigma * seg)
-            live = (T > thresh).astype(jnp.float32) * frontf
-            alpha = live * (1.0 - E)
-            w = T * alpha * shade
-            Wr = Wr + w
-            Atil = bct - cw * Wr        # = A_s * T_s (prefix closed form)
-            dsig = live * density * seg * (cw * T * shade * E - Atil)
-            if has_light:
-                dshade = cw * T * alpha
-                # clip subgradient matching jax.numpy.clip: 1 inside,
-                # 0.5 exactly at the boundaries (min/max tie convention),
-                # 0 outside. Fully-lit voxels hit lT == 1.0 exactly.
-                clip_g = (((lT > 0.0) & (lT < 1.0)).astype(jnp.float32)
-                          + 0.5 * ((lT == 0.0) | (lT == 1.0)
-                                   ).astype(jnp.float32))
-                dlT = dshade * (1.0 - ambient) * clip_g
-            T = T * (1.0 - alpha)
-        else:
-            dsig = frontf * ctacc_ref[:] * seg
-
         # Column scatter as a banded matmul: Wb[j, b] with b_in folded.
         # The matrix depends only on the slice, not the row block — built
         # once per slice (rb == 0) into scratch and reused by the other
@@ -771,11 +736,27 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
         # matmuls, cutting its flops ~B/128-fold at large B. Window
         # offsets live in SMEM scratch; spans are host-bounded
         # (ops/sweep._scatter_window_elems).
+        # (Round 5: built BEFORE the adjoint math — the sigT recompute
+        # below contracts against these same matrices transposed.)
         n_bt = (B // LANES) if swin else 1
         Wc = swin * LANES
 
-        @pl.when(rb == 0)
-        def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
+        if bigW:
+            # ONE full-width one-hot matrix per slice (B, Wb): a single
+            # bulk build at rb==0, a single static (RB, B) x (B, Wb) dot
+            # for the recompute, and (bigW == 2) the SAME matrix
+            # transposed for the column scatter — no separate wbm build,
+            # no dynamic scratch traffic at all.
+            @pl.when(rb == 0)
+            def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
+                src = jax.lax.broadcasted_iota(jnp.int32, (B, Wb_n), 0)
+                w0 = ((1.0 - fb) * b_in)[None, :]
+                w1 = (fb * b_in)[None, :]
+                wbg_s[c] = (jnp.where(src == i0[None, :], w0, 0.0)
+                            + jnp.where(src == i1[None, :], w1, 0.0)
+                            ).astype(wbg_s.dtype)
+
+        def _wbm_build(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in, delta=delta):
             if not swin:
                 w0v = (1.0 - fb) * b_in
                 w1v = fb * b_in
@@ -809,10 +790,115 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                     + jnp.where(colsw == i1w[:, None], w1w[:, None], 0.0)
                 ).astype(wbm_s.dtype)
 
+        if bigW != 2:  # bigW==2 replaces wbm entirely (skip the build)
+            pl.when(rb == 0)(_wbm_build)
+
+        def resampleT(t, c=c):
+            """sigma-style column recompute via Wbm^T (the sigT form):
+            out[r, j] = sum_b t[r, b] * Wbm[j, b]. Source reads are
+            STATIC 128-lane tiles of t; only the accumulation target is
+            a dynamic (windowed, LANES-aligned) scratch slice. Windows
+            of adjacent grid tiles overlap in j — accumulation adds
+            them; each source column b lives in exactly one tile, so
+            nothing double-counts. Base columns outside every window
+            have both taps out of box (host bound) -> stay zero."""
+            cdims = (((1,), (1,)), ((), ()))
+            if not swin:
+                tm = t[:, :B]
+                tm = tm.astype(jnp.bfloat16) if low else tm
+                return jax.lax.dot_general(
+                    tm, wbm_s[c], cdims,
+                    preferred_element_type=jnp.float32)
+            mat_s[:] = jnp.zeros(mat_s.shape, jnp.float32)
+            for bt in range(n_bt):
+                joel = pl.multiple_of(joff_s[c, bt] * LANES, LANES)
+                tt = t[:, bt * LANES:(bt + 1) * LANES]
+                tt = tt.astype(jnp.bfloat16) if low else tt
+                part = jax.lax.dot_general(
+                    tt, wbm_s[c, bt], cdims,
+                    preferred_element_type=jnp.float32)
+                mat_s[:, pl.ds(joel, Wc)] = (mat_s[:, pl.ds(joel, Wc)]
+                                             + part)
+            return mat_s[:]
+
+        if emission:
+            # Recompute sigma exactly as the forward kernel did (the
+            # matmul column stage sums the same two taps — equal up to
+            # f32 summation order).
+            t = _pad_lanes(jnp.dot(wa_ref[c], vol_win(g_ref, c),
+                                   preferred_element_type=jnp.float32), B)
+            if bigW:
+                tm = t[:, :B]
+                tm = tm.astype(jnp.bfloat16) if low else tm
+                sigma = jnp.dot(tm, wbg_s[c],
+                                preferred_element_type=jnp.float32) * sscale
+            elif sigT:
+                sigma = resampleT(t) * sscale
+            elif colmm:
+                # MXU column stage: matrices built once per slice at the
+                # first row block (ONE bulk scratch write — the
+                # per-chunk predicated form measured ~1.5x slower bwd),
+                # shared by all row blocks (sc-major grid keeps the slot
+                # live). FULL-width contraction: the windowed form
+                # (dynamic ts-staged loads + SMEM offsets) also measured
+                # slower here; only the rb-major forward windows.
+                @pl.when(rb == 0)
+                def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
+                    wbc_s[c] = _build_wbc_full(i0, i1, fb, b_in, B,
+                                               Wb_n, wbc_s.dtype)
+                sigma = _apply_wbc(t, wbc_s[c]) * sscale
+            else:
+                sigma = (_gather_cols(t, i0, i1, fb, b_in, Wb_n, n_pieces,
+                                      cwin, ts_s)
+                         * b_in[None, :] * sscale)
+            if has_light:
+                tl = _pad_lanes(jnp.dot(wa_ref[c], vol_win(l_ref, c),
+                                        preferred_element_type=jnp.float32),
+                                B)
+                if bigW:
+                    tlm = tl[:, :B]
+                    tlm = tlm.astype(jnp.bfloat16) if low else tlm
+                    lT = jnp.dot(tlm, wbg_s[c],
+                                 preferred_element_type=jnp.float32)
+                elif sigT:
+                    lT = resampleT(tl)
+                elif colmm:
+                    lT = _apply_wbc(tl, wbc_s[c])
+                else:
+                    lT = _gather_cols(tl, i0, i1, fb, b_in, Wb_n,
+                                      n_pieces, cwin, ts_s)
+                shade = ambient + (1.0 - ambient) * jnp.clip(lT, 0.0, 1.0)
+            else:
+                shade = 1.0
+            E = jnp.exp(-density * sigma * seg)
+            live = (T > thresh).astype(jnp.float32) * frontf
+            alpha = live * (1.0 - E)
+            w = T * alpha * shade
+            Wr = Wr + w
+            Atil = bct - cw * Wr        # = A_s * T_s (prefix closed form)
+            dsig = live * density * seg * (cw * T * shade * E - Atil)
+            if has_light:
+                dshade = cw * T * alpha
+                # clip subgradient matching jax.numpy.clip: 1 inside,
+                # 0.5 exactly at the boundaries (min/max tie convention),
+                # 0 outside. Fully-lit voxels hit lT == 1.0 exactly.
+                clip_g = (((lT > 0.0) & (lT < 1.0)).astype(jnp.float32)
+                          + 0.5 * ((lT == 0.0) | (lT == 1.0)
+                                   ).astype(jnp.float32))
+                dlT = dshade * (1.0 - ambient) * clip_g
+            T = T * (1.0 - alpha)
+        else:
+            dsig = frontf * ctacc_ref[:] * seg
+
         def scatter(mat, c=c):
             """(RB, Wb_n) f32 -> (RB, B): mat @ Wbm via the dense scratch
             matrix or the per-tile windowed form (bf16 MXU path in bf16
             stream mode; f32 accumulation either way)."""
+            if bigW == 2:
+                m = mat.astype(jnp.bfloat16) if low else mat
+                return jax.lax.dot_general(
+                    m, wbg_s[c], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             if not swin:
                 m = mat.astype(jnp.bfloat16) if low else mat
                 return jnp.dot(m, wbm_s[c],
@@ -839,8 +925,8 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
 
 
 def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
-             n_win, cwin, swin, colmm, emission, cw, bct, tck, wck, ctacc,
-             interpret=False, wrap=False):
+             n_win, cwin, swin, colmm, sigT, bigW, emission, cw, bct, tck,
+             wck, ctacc, interpret=False, wrap=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
     Wr = wa_all.shape[2]  # A (dense) or n_win * GRAN (windowed)
@@ -884,14 +970,18 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         out_specs.append(dgs)
         out_shape.append(jax.ShapeDtypeStruct((S, A, B), jnp.float32))
 
-    if swin:
+    if bigW == 2:
+        scratch = []  # the big matrix serves the scatter too
+    elif swin:
         scratch = [pltpu.VMEM((ch, B // LANES, swin * LANES, LANES),
                               gperm.dtype),
                    pltpu.SMEM((ch, B // LANES), jnp.int32),
                    pltpu.VMEM((RB, Wb_n), jnp.float32)]
     else:
         scratch = [pltpu.VMEM((ch, Wb_n, B), gperm.dtype)]
-    # order must mirror _bwd_kernel's pops: [..., wbc][, ts last]
+    # order must mirror _bwd_kernel's pops: [..., wbg][, wbc][, ts last]
+    if bigW:
+        scratch.append(pltpu.VMEM((ch, B, Wb_n), gperm.dtype))
     if colmm:
         # full-width stacked matrices (both the windowed form and the
         # per-chunk predicated-write form measured slower in bwd)
@@ -910,7 +1000,8 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, emission=emission, ch=ch,
                           has_light=has_light, wrap=wrap, n_win=n_win,
-                          cwin=cwin, swin=swin, colmm=colmm),
+                          cwin=cwin, swin=swin, colmm=colmm, sigT=sigT,
+                          bigW=bigW),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -1054,8 +1145,18 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     # in as an explicit argument (see _fused_vjp).
     g = gperm[::-1] if flip else gperm
     colmm_f = colmm and _COL_STAGE_FWD in ("auto", "mm", "1")
+    # Backward sigma/scatter form (all need colmm's lane tiling):
+    #   colmm    — r4: per-chunk one-hot matrices, windowed wbm scatter
+    #   scatterT — windowed-wbm^T recompute (lost its A/B: dynamic
+    #              scratch RMW traffic; kept as a knob for re-measure)
+    #   bigsig   — ONE (B, Wb) matrix for the recompute, windowed scatter
+    #   big      — the same matrix for recompute AND (transposed) scatter
+    form = _bwd_sigma()
+    sigT = colmm and form == "scatterT"
+    bigW = {"big": 2, "bigsig": 1}.get(form, 0) if colmm else 0
     f = _fused_vjp(cfg.emission, lperm is not None, n_win, cwin, swin,
-                   colmm, colmm_f, interpret, wrap_mode, cfg.dtype)
+                   colmm, colmm_f, sigT, bigW, interpret, wrap_mode,
+                   cfg.dtype)
     if lperm is None:
         return f(g, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
                  params, rowoff)
@@ -1066,7 +1167,7 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
 
 @functools.lru_cache(maxsize=None)
 def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
-               interpret, wrap, dtype_name):
+               sigT, bigW, interpret, wrap, dtype_name):
     """custom_vjp instance for one static kernel configuration.
 
     EVERY traced array is an explicit argument: a custom_vjp must not
@@ -1094,11 +1195,15 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
             cw = ct_wsum
             bct = ct_trans * trans + cw * wsum
             return _run_bwd(g, l, slice_z, wa, ug, seg, params, rowoff,
-                            n_win, cwin, swin, colmm, True, cw, bct, tck,
-                            wck, None, interpret, wrap)
+                            n_win, cwin, swin,
+                            colmm and not (sigT or bigW), sigT, bigW,
+                            True, cw, bct, tck, wck, None, interpret,
+                            wrap)
         return _run_bwd(g, l, slice_z, wa, ug, seg, params, rowoff,
-                        n_win, cwin, swin, colmm, False, None, None, None,
-                        None, ct_acc, interpret, wrap)
+                        n_win, cwin, swin,
+                        colmm and not (sigT or bigW), sigT, bigW,
+                        False, None, None, None, None, ct_acc, interpret,
+                        wrap)
 
     def plan_zeros(slice_z, wa, ug, seg, params, rowoff):
         return (jnp.zeros_like(slice_z), jnp.zeros_like(wa),
@@ -1661,7 +1766,8 @@ def _row_matrices_ref(plan, A, medium, offs, address_mode):
 
 
 def sweep_base_pallas_ref(gperm4, plan, cfg, medium, light, scroll=None,
-                          interpret=False, lperm4=None, lperm=None):
+                          interpret=False, lperm4=None, lperm=None,
+                          lvperm=None):
     """Reference-combine base maps via the 4-channel fused kernels.
 
     gperm4: (S, A, B, 4) transposed volume. The layer-lerp precompute and
@@ -1679,7 +1785,13 @@ def sweep_base_pallas_ref(gperm4, plan, cfg, medium, light, scroll=None,
     transposed layout, shaded per slice at UNSCALED coords (round 4 —
     the last fused-kernel gate gap: a shadowed reference-combine scene
     previously fell back to the jnp sweep silently). Gradients flow to
-    the grid channels AND the light volume."""
+    the grid channels AND the light volume.
+
+    lvperm: optionally the ALREADY-LERPED light slabs (S, A, B) in
+    plan.slice_z (front-to-back) order — the sharded renderer lerps the
+    light stack outside shard_map (GSPMD handles the cross-slab
+    k-gathers) and passes each device's local block here (lperm is then
+    ignored and may be None)."""
     lt = light if light is not None else LightConfig()
     offs = _channel_offsets(medium, scroll, plan.coord_order)
     params = jnp.concatenate([
@@ -1697,16 +1809,18 @@ def sweep_base_pallas_ref(gperm4, plan, cfg, medium, light, scroll=None,
                                  cfg.address_mode)
     lperm4 = lperm4.astype(kdt)  # autodiff casts the cotangent back
 
-    if lperm is None:
+    if lperm is None and lvperm is None:
         f = _fused_vjp_ref(cfg.emission, False, interpret)
         return f(lperm4, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
                  params)
-    # Pre-lerp the light volume onto the slice planes (differentiable;
-    # also covers n_slices != depth) and build its unscaled row matrices.
-    lvperm = _layer_lerp_stack(lperm, plan.slice_z,
-                               cfg.address_mode).astype(kdt)
+    if lvperm is None:
+        # Pre-lerp the light volume onto the slice planes
+        # (differentiable; also covers n_slices != depth) and build its
+        # unscaled row matrices.
+        lvperm = _layer_lerp_stack(lperm, plan.slice_z, cfg.address_mode)
+    lvperm = lvperm.astype(kdt)
     wal_all = jax.lax.stop_gradient(
-        _row_matrices(plan, lperm.shape[1], cfg.address_mode)).astype(kdt)
+        _row_matrices(plan, lvperm.shape[1], cfg.address_mode)).astype(kdt)
     f = _fused_vjp_ref(cfg.emission, True, interpret)
     return f(lperm4, lvperm, wal_all, plan.slice_z, wa_all, plan.u_grid,
              plan.seglen, params)
