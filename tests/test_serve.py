@@ -110,3 +110,29 @@ def test_frameloop_error_is_sticky_until_next_frame():
                 loop.next_frame(0, timeout=10)
     finally:
         loop.stop()
+
+
+def test_mouse_drag_and_wheel_drive_the_lattice():
+    """Pointer drag orbits and wheel dollies (Mouse.h:5-44 parity),
+    quantized onto the SAME key lattice so plans/executables cache."""
+    r = InteractiveRenderer(_small_preset(), probe=4)
+    st0 = dict(r.state())
+    # sub-step drags accumulate server-side (no state change yet)
+    st = r.drag(10, 0)
+    assert st["azim"] == st0["azim"]
+    st = r.drag(38, -50)  # 48px right = 2 az steps; 50px up = 2 el steps
+    assert st["azim"] != st0["azim"]
+    assert st["elev"] > st0["elev"]
+    # the reached azimuth is ON the key lattice (a 'd' then 'a' returns)
+    az = r.azim
+    r.key("d"); r.key("a")
+    assert r.azim == pytest.approx(az, abs=1e-12)
+    st1 = r.wheel(1)
+    assert st1["dist"] > st["dist"]
+    st2 = r.wheel(-1)
+    assert st2["dist"] == pytest.approx(st["dist"], abs=1e-9)
+
+
+def test_serve_selftest_reports_mouse_ok():
+    res = serve(_small_preset(), port=_free_port(), frames=2)
+    assert res["mouse_drag_wheel_ok"] is True

@@ -51,6 +51,11 @@ _AZ_STEP = 2 * math.pi / N_AZ  # ~0.1208 rad, ~= the old 0.12 feel
 _EL_STEP = 0.08
 _DOLLY = 1.08
 _TIME_STEP = 0.25
+# Pointer-drag pixels per orbit lattice step (drag quantizes onto the
+# SAME azimuth/elevation lattice the keys use, so mouse-reached cameras
+# hit the plan cache / compiled executables exactly like key-reached
+# ones).
+_DRAG_PX_PER_STEP = 24.0
 
 # The viewer page's background (#111): frames are composited over it on
 # DEVICE and shipped as RGB — same pixels the browser showed for the
@@ -188,6 +193,8 @@ class InteractiveRenderer:
         self._plan_cache = {}
         self._plan_cache_cap = 512
         self._plan_misses = 0
+        self._drag_px_x = 0.0
+        self._drag_px_y = 0.0
 
     @property
     def azim(self):
@@ -286,6 +293,39 @@ class InteractiveRenderer:
                 self.playing = not self.playing
             return self.state()
 
+    # -- mouse (the reference's Mouse class: relative-mode deltas +
+    # scroll, Core/Mouse.h:5-44 — constructed but unused by TestMain;
+    # here it drives the same orbit/dolly state as the keys) ----------
+    def drag(self, dx: float, dy: float):
+        """Pointer-drag orbit: horizontal pixels -> azimuth lattice
+        steps, vertical -> elevation steps. Deltas accumulate
+        server-side and convert to WHOLE lattice steps (residuals kept),
+        so every reachable camera stays on the key lattice and plans/
+        executables cache exactly as for key input."""
+        with self.lock:
+            self._drag_px_x += float(dx)
+            self._drag_px_y += float(dy)
+            sx = int(self._drag_px_x / _DRAG_PX_PER_STEP)
+            sy = int(self._drag_px_y / _DRAG_PX_PER_STEP)
+            self._drag_px_x -= sx * _DRAG_PX_PER_STEP
+            self._drag_px_y -= sy * _DRAG_PX_PER_STEP
+            if sx:
+                self._az_idx = (self._az_idx + sx) % N_AZ
+            if sy:
+                el = self.elev - sy * _EL_STEP  # drag up = look from above
+                self.elev = min(max(el, -_EL_LIM), _EL_LIM)
+            return self.state()
+
+    def wheel(self, dy: float):
+        """Scroll dolly (Mouse.h scroll callback): one notch = one W/S
+        key step on the distance lattice."""
+        with self.lock:
+            if dy < 0:
+                self.dist = max(self.dist / _DOLLY, _DIST_MIN)
+            elif dy > 0:
+                self.dist = min(self.dist * _DOLLY, _DIST_MAX)
+            return self.state()
+
     def state(self):
         return {"azim": round(self.azim, 3), "elev": round(self.elev, 3),
                 "dist": round(self.dist, 3), "t": round(self.media_t, 3),
@@ -367,7 +407,8 @@ img{image-rendering:auto;margin-top:8px;max-width:96vw}
 #hud{padding:6px}
 </style></head><body>
 <div id="hud">A/D orbit &nbsp; Q/E elevate &nbsp; W/S dolly &nbsp;
-R/F time &nbsp; space pause — <span id="st"></span></div>
+R/F time &nbsp; space pause &nbsp; drag orbit &nbsp; wheel dolly —
+<span id="st"></span></div>
 <img id="v" src="/frame.png">
 <script>
 const img = document.getElementById('v'), st = document.getElementById('st');
@@ -386,6 +427,33 @@ window.addEventListener('keydown', e => {
   if ('adqwesrf'.includes(k) || k === 'space')
     fetch('/key?k=' + k).catch(()=>{});
 });
+// mouse: drag orbits, wheel dollies (the reference's Mouse class,
+// Core/Mouse.h — relative-mode deltas + scroll). Deltas batch per
+// animation frame; the server quantizes them onto the key lattice.
+let drag = null, accX = 0, accY = 0, sendQueued = false;
+function flushDrag() {
+  sendQueued = false;
+  if (accX || accY) {
+    fetch('/drag?dx=' + accX + '&dy=' + accY).catch(()=>{});
+    accX = 0; accY = 0;
+  }
+}
+img.addEventListener('pointerdown', e => {
+  drag = {x: e.clientX, y: e.clientY};
+  img.setPointerCapture(e.pointerId); e.preventDefault();
+});
+img.addEventListener('pointermove', e => {
+  if (!drag) return;
+  accX += e.clientX - drag.x; accY += e.clientY - drag.y;
+  drag = {x: e.clientX, y: e.clientY};
+  if (!sendQueued) { sendQueued = true; requestAnimationFrame(flushDrag); }
+});
+img.addEventListener('pointerup', e => { drag = null; flushDrag(); });
+img.addEventListener('wheel', e => {
+  e.preventDefault();
+  fetch('/wheel?dy=' + Math.sign(e.deltaY)).catch(()=>{});
+}, {passive: false});
+img.style.touchAction = 'none';
 </script></body></html>"""
 
 
@@ -519,6 +587,19 @@ def _make_handler(loop: FrameLoop):
                     state = renderer.key(" " if k == "space" else k)
                     self._send(200, "application/json",
                                json.dumps(state).encode())
+                elif self.path.startswith("/drag"):
+                    from urllib.parse import parse_qs, urlparse
+                    q = parse_qs(urlparse(self.path).query)
+                    dx = float(q.get("dx", ["0"])[0])
+                    dy = float(q.get("dy", ["0"])[0])
+                    self._send(200, "application/json",
+                               json.dumps(renderer.drag(dx, dy)).encode())
+                elif self.path.startswith("/wheel"):
+                    from urllib.parse import parse_qs, urlparse
+                    q = parse_qs(urlparse(self.path).query)
+                    dy = float(q.get("dy", ["0"])[0])
+                    self._send(200, "application/json",
+                               json.dumps(renderer.wheel(dy)).encode())
                 elif self.path.startswith("/state"):
                     self._send(200, "application/json",
                                json.dumps(renderer.state()).encode())
@@ -580,6 +661,14 @@ def serve(preset, port: int = 8788, frames: Optional[int] = None,
     for k in keys:
         get(f"/key?k={k}")
         get("/frame.png")
+    # mouse path (drag orbit + wheel dolly) through the same HTTP stack
+    st_before = json.loads(get("/state"))
+    drag_state = json.loads(get("/drag?dx=48&dy=-24"))
+    wheel_state = json.loads(get("/wheel?dy=1"))
+    mouse_ok = (drag_state["azim"] != st_before["azim"]
+                and drag_state["elev"] != st_before["elev"]
+                and wheel_state["dist"] != drag_state["dist"])
+    get("/frame.png")
     compile_s = time.perf_counter() - t_first
     t0 = time.perf_counter()
     for i in range(frames):
@@ -602,6 +691,7 @@ def serve(preset, port: int = 8788, frames: Optional[int] = None,
         "ms_per_frame": round(dt / frames * 1e3, 1),
         "warmup_s": round(compile_s, 1),
         "n_executables": len(renderer._signatures),
+        "mouse_drag_wheel_ok": mouse_ok,
         "final_state": state,
         "png_bytes_mean": int(np.mean(sizes)),
     }
