@@ -240,14 +240,16 @@ def main():
     S = plan.slice_z.shape[0]
     A = VOLUME
     A_eff = plan.row_window or A          # row-matmul contraction
-    sc_eff = ((plan.scatter_window * (A // 128) * 128)
-              if plan.scatter_window else Wb * A)  # bwd scatter work/row
-    # fwd t + bwd t-recompute + dG (contraction A_eff each) + scatter +
-    # the matmul column stage (fwd and bwd-recompute, one-hot contraction
-    # over the grid cols — deliberately "wasteful" MXU work that replaced
-    # the VPU lane gathers; useful_mfu stays the honest efficiency
-    # metric)
-    dense = 2.0 * S * Hb * (3.0 * A_eff * A + sc_eff + 2.0 * Wb * A)
+    fwd_col = Wb * (plan.col_window or A)  # fwd column stage work/row
+    # Per (slice, base row) MAC counts, r5 kernel forms: row resample
+    # fwd + bwd recompute + dG transpose (contraction A_eff each), the
+    # fwd matmul column stage (windowed when the plan has a col window),
+    # and the bwd "big" form — ONE full-width one-hot (B, Wb) matrix
+    # contracted twice per slice (sigma recompute + transposed scatter;
+    # its chip A/B beat every windowed form, kernels/sweep_pallas.py).
+    # Deliberately "wasteful" MXU work that replaced the VPU lane
+    # gathers; useful_mfu stays the honest efficiency metric.
+    dense = 2.0 * S * Hb * (3.0 * A_eff * A + fwd_col + 2.0 * Wb * A)
     useful = 2.0 * (4.0 * S * Hb * A + 4.0 * S * Hb * Wb) \
         + 16.0 * S * Hb * Wb
     mfu = dense / per_frame / peak

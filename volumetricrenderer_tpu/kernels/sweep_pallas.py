@@ -85,7 +85,10 @@ from ..config import LightConfig, MediumConfig, RenderConfig
 
 import os as _os
 
-RB = 128     # base rows per block (plan base dims are multiples of 128)
+# Base rows per block (plan base dims are multiples of 128). Env knob
+# for chip A/Bs: 256 halves the per-block dispatch count and doubles the
+# matmul M dim.
+RB = int(_os.environ.get("VOLT_RB", 128))
 CHUNK = int(_os.environ.get("VOLT_SWEEP_CHUNK", 8))
 # slices per grid step (statically unrolled in the kernel; 16 measured
 # r3: fwd -0.4 ms but bwd +1.2 ms and 2x bwd scratch; env knob for A/Bs)
@@ -109,19 +112,20 @@ _COL_STAGE = _os.environ.get("VOLT_COL_STAGE", "auto")
 # cannot live in scratch across row blocks; "mm" builds them per use
 # (A/B'd on chip against the lane gathers).
 _COL_STAGE_FWD = _os.environ.get("VOLT_COL_STAGE_FWD", "auto")
-# Backward sigma-recompute form (round 5). "scatterT" contracts against
-# the TRANSPOSE of the (already-built, windowed) column-scatter matrices
-# Wbm — sigma[:, jwin] += t[:, tile] @ Wbm[tile]^T — so the separate
-# full-width one-hot wbc stack (its build + its (ch, n_q, B, 128)
-# scratch + its unwindowed B-wide contractions, the bulk of the r4
-# backward) disappears: one matrix family serves both the recompute and
-# the scatter, and the contraction inherits the scatter window. Source
-# reads are STATIC 128-lane tiles (the constraint the two reverted r4
-# windowed forms violated); only the output accumulation window is
-# dynamic. "colmm" keeps the r4 full-width form; "auto" resolves to
-# whichever won the committed chip A/B (see PROFILE_r5.json).
-# Read at CALL time (unlike the other knobs) so A/B tools can flip it
-# between jit traces in one process.
+# Backward sigma/scatter form (round 5). Interleaved chip A/B at the
+# flagship base sweep fwd+bwd, ms/frame (PROFILE_r5.json bwd_form_ab):
+#   colmm (r4 default: per-chunk one-hot stack + windowed wbm) 9.77
+#   scatterT (windowed-wbm^T recompute, dynamic RMW output)   12.66
+#   bigsig (ONE (B, Wb) matrix recompute, windowed scatter)    9.44
+#   big (the same matrix for recompute AND transposed scatter) 8.90
+# "auto" = big: ONE full-width one-hot matrix per slice, one bulk build
+# at rb==0, one static (RB, B) x (B, Wb) dot for the recompute and one
+# (RB, Wb) x (Wb, B) transposed dot for the scatter — beats every
+# windowed form because builds/staging/dynamic scratch traffic cost
+# more than the extra (mostly-zero) MXU flops; scatterT's loss extends
+# the r4 lesson from dynamic READS to dynamic WRITES. Knob kept for
+# re-measure on new hardware. Read at CALL time (unlike the other
+# knobs) so A/B tools can flip it between jit traces in one process.
 def _bwd_sigma():
     return _os.environ.get("VOLT_BWD_SIGMA", "auto")
 GRAN = 64    # granule (grid rows) for the windowed row resample below
@@ -1153,7 +1157,8 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     #   big      — the same matrix for recompute AND (transposed) scatter
     form = _bwd_sigma()
     sigT = colmm and form == "scatterT"
-    bigW = {"big": 2, "bigsig": 1}.get(form, 0) if colmm else 0
+    bigW = ({"big": 2, "bigsig": 1, "auto": 2}.get(form, 0)
+            if colmm else 0)
     f = _fused_vjp(cfg.emission, lperm is not None, n_win, cwin, swin,
                    colmm, colmm_f, sigT, bigW, interpret, wrap_mode,
                    cfg.dtype)

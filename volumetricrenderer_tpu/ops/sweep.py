@@ -621,14 +621,17 @@ def _clamp_tile_lo(tile_lo, max_r, max_c):
 
 
 _WARP_TILE_ENV = _os.environ.get("VOLT_WARP_TILE", "")
-_WARP_UNROLL = int(_os.environ.get("VOLT_WARP_UNROLL", 4))
-# Warp matmul operand dtype (A/B knob): "bf16" casts the tap-weight and
-# tile operands of the warp einsums to bfloat16 (accumulation stays f32
-# via preferred_element_type). The fwd warp's matmuls contract K=tile=96
-# — MXU-underfed in f32 — so bf16 halves their issue cost.
-_WARP_MM_DTYPE = (jnp.bfloat16
-                  if _os.environ.get("VOLT_WARP_DTYPE", "") == "bf16"
-                  else jnp.float32)
+# unroll 8 A/B'd r5 (warp-only, ms/frame fwd / fwd+bwd): u2 5.30/7.15,
+# u4 4.73/7.11, u8 4.66/6.96, T192+u4 4.62/7.93 (bwd regresses) —
+# 8 wins both directions at T=96.
+_WARP_UNROLL = int(_os.environ.get("VOLT_WARP_UNROLL", 8))
+# The VOLT_WARP_DTYPE=bf16 knob was REMOVED in round 5 after its chip
+# A/B measured exactly 1.00x (interleaved flagship frames, f32 vs bf16
+# warp operands: fwd 6.87 vs 6.95 ms, fwd+bwd 15.00 vs 14.98 —
+# PROFILE_r5.json warp_dtype_ab): f32 warp operands already run as one
+# bf16 MXU pass under JAX default matmul precision, so the explicit
+# cast buys nothing and costs tap-weight precision. Same conclusion as
+# the grid-stream bf16 A/B (r4, 1.00x at 256^3 and 512^3).
 
 
 def _pick_warp_tile(Hb: int, Wb: int) -> int:
@@ -840,14 +843,13 @@ def _warp_windowed_fwd(base, rows01, cols01, tile_lo, band, tile):
             rows01, (lo[0], lo[1]), (band_r, band_c)).reshape(-1)
         cc = jax.lax.dynamic_slice(
             cols01, (lo[0], lo[1]), (band_r, band_c)).reshape(-1)
-        R = _tap_weights(rr, Hb, ro, tile).astype(_WARP_MM_DTYPE)
-        Cm = _tap_weights(cc, Wb, co, tile).astype(_WARP_MM_DTYPE)
+        R = _tap_weights(rr, Hb, ro, tile)
+        Cm = _tap_weights(cc, Wb, co, tile)
         tile_vals = jax.lax.dynamic_slice(base, (ro, co, 0),
-                                          (tile, tile, C)
-                                          ).astype(_WARP_MM_DTYPE)
+                                          (tile, tile, C))
         mid = jnp.einsum("pa,abc->pbc", R, tile_vals,
                          preferred_element_type=jnp.float32)
-        contrib = jnp.einsum("pbc,pb->pc", mid.astype(_WARP_MM_DTYPE), Cm,
+        contrib = jnp.einsum("pbc,pb->pc", mid, Cm,
                              preferred_element_type=jnp.float32)
         # Inactive tiles (no valid pixel taps them) are gated off: their
         # rect defaults to (0, 0) and clamped out-of-footprint taps must
