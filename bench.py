@@ -241,15 +241,17 @@ def main():
     A = VOLUME
     A_eff = plan.row_window or A          # row-matmul contraction
     fwd_col = Wb * (plan.col_window or A)  # fwd column stage work/row
-    # Per (slice, base row) MAC counts, r5 kernel forms: row resample
-    # fwd + bwd recompute + dG transpose (contraction A_eff each), the
-    # fwd matmul column stage (windowed when the plan has a col window),
-    # and the bwd "big" form — ONE full-width one-hot (B, Wb) matrix
-    # contracted twice per slice (sigma recompute + transposed scatter;
-    # its chip A/B beat every windowed form, kernels/sweep_pallas.py).
-    # Deliberately "wasteful" MXU work that replaced the VPU lane
-    # gathers; useful_mfu stays the honest efficiency metric.
-    dense = 2.0 * S * Hb * (3.0 * A_eff * A + fwd_col + 2.0 * Wb * A)
+    # Per (slice, base row) MAC counts, r5 "assoc" kernel forms
+    # (kernels/sweep_pallas.py): fwd row resample (A_eff * A) + fwd
+    # matmul column stage (windowed when the plan has a col window);
+    # bwd re-associated around ONE one-hot (B, Wb) matrix per slice —
+    # per row: sigma = wa @ gw and the v accumulation (A_eff * Wb each),
+    # per SLICE (amortized over Hb rows): the gw build + the final
+    # dG = v @ W^T (A * A * Wb each). Deliberately "wasteful" MXU work
+    # that replaced the VPU lane gathers; useful_mfu stays the honest
+    # efficiency metric.
+    dense = 2.0 * S * Hb * (A_eff * A + fwd_col + 2.0 * A_eff * Wb
+                            + 2.0 * A * A * Wb / Hb)
     useful = 2.0 * (4.0 * S * Hb * A + 4.0 * S * Hb * Wb) \
         + 16.0 * S * Hb * Wb
     mfu = dense / per_frame / peak

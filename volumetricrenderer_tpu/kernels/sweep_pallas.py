@@ -109,23 +109,31 @@ _SKIP_GATHER = bool(int(_os.environ.get("VOLT_SKIP_GATHER", "0")))
 # gathers. "auto" resolves to mm whenever the plan has a column window.
 _COL_STAGE = _os.environ.get("VOLT_COL_STAGE", "auto")
 # Forward column stage: the fwd grid is rb-major so per-slice matrices
-# cannot live in scratch across row blocks; "mm" builds them per use
-# (A/B'd on chip against the lane gathers).
-_COL_STAGE_FWD = _os.environ.get("VOLT_COL_STAGE_FWD", "auto")
+# cannot live in scratch across row blocks; "mm" builds the per-chunk
+# one-hot matrices per use (A/B'd on chip against the lane gathers);
+# "big" builds ONE (B, Wb) matrix per use and issues a single dot
+# (the bwd A/B showed single-big beats chunked). Trace-time read.
+def _col_stage_fwd():
+    return _os.environ.get("VOLT_COL_STAGE_FWD", "auto")
 # Backward sigma/scatter form (round 5). Interleaved chip A/B at the
 # flagship base sweep fwd+bwd, ms/frame (PROFILE_r5.json bwd_form_ab):
 #   colmm (r4 default: per-chunk one-hot stack + windowed wbm) 9.77
 #   scatterT (windowed-wbm^T recompute, dynamic RMW output)   12.66
 #   bigsig (ONE (B, Wb) matrix recompute, windowed scatter)    9.44
 #   big (the same matrix for recompute AND transposed scatter) 8.90
-# "auto" = big: ONE full-width one-hot matrix per slice, one bulk build
-# at rb==0, one static (RB, B) x (B, Wb) dot for the recompute and one
-# (RB, Wb) x (Wb, B) transposed dot for the scatter — beats every
-# windowed form because builds/staging/dynamic scratch traffic cost
-# more than the extra (mostly-zero) MXU flops; scatterT's loss extends
-# the r4 lesson from dynamic READS to dynamic WRITES. Knob kept for
-# re-measure on new hardware. Read at CALL time (unlike the other
-# knobs) so A/B tools can flip it between jit traces in one process.
+#   assoc (big + re-associated bilinear forms)                 7.55
+# "auto" = assoc: ONE full-width one-hot matrix W per slice, and both
+# bilinear forms re-associated around it —
+#   sigma_rb = wa_rb @ (G_s @ W)   (gw built once per slice, rb==0)
+#   dG_s = (sum_rb wa_rb^T dsig_rb) @ W^T   (v accumulated per slice)
+# so the Wb x B contractions run once per SLICE instead of once per
+# (row block, slice): ~40% of the bwd MXU flops gone. All reads static,
+# scratch accumulation sublane-windowed only (the lane-dynamic forms —
+# scatterT's windowed RMW, colmm's staging — all measured slower:
+# dynamic scratch traffic costs more than mostly-zero MXU flops). Knob
+# kept for re-measure on new hardware. Read at CALL time (unlike the
+# other knobs) so A/B tools can flip it between jit traces in one
+# process.
 def _bwd_sigma():
     return _os.environ.get("VOLT_BWD_SIGMA", "auto")
 GRAN = 64    # granule (grid rows) for the windowed row resample below
@@ -511,7 +519,19 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
             i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B,
                                          wrap)
             Wb_n = ug_ref.shape[1]
-            if colmm:
+            if colmm == 2:
+                # ONE full-width one-hot (B, Wb) matrix built per use +
+                # a single dot (the bwd A/B's single-big-vs-chunked
+                # lesson applied forward; rb-major grid, so no scratch
+                # amortization either way).
+                src = jax.lax.broadcasted_iota(jnp.int32, (B, Wb_n), 0)
+                w0 = ((1.0 - fb) * b_in)[None, :]
+                w1 = (fb * b_in)[None, :]
+                Wbig = (jnp.where(src == i0[None, :], w0, 0.0)
+                        + jnp.where(src == i1[None, :], w1, 0.0))
+                sigma = jnp.dot(t[:, :B], Wbig,
+                                preferred_element_type=jnp.float32) * sscale
+            elif colmm:
                 sigma = _colmm_cols(t, i0, i1, fb, b_in, B, Wb_n,
                                     n_pieces, cwin, ts_s, None, None, c,
                                     False) * sscale
@@ -524,7 +544,16 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                 tl = _pad_lanes(jnp.dot(wa_ref[c], gmat(l_refs, c),
                                         preferred_element_type=jnp.float32),
                                 B)
-                if colmm:
+                if colmm == 2:
+                    src = jax.lax.broadcasted_iota(jnp.int32, (B, Wb_n),
+                                                   0)
+                    Wbig_l = (jnp.where(src == i0[None, :],
+                                        ((1.0 - fb) * b_in)[None, :], 0.0)
+                              + jnp.where(src == i1[None, :],
+                                          (fb * b_in)[None, :], 0.0))
+                    lT = jnp.dot(tl[:, :B], Wbig_l,
+                                 preferred_element_type=jnp.float32)
+                elif colmm:
                     lT = _colmm_cols(tl, i0, i1, fb, b_in, B, Wb_n,
                                      n_pieces, cwin, ts_s, None, None, c,
                                      False)
@@ -638,16 +667,23 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
-                has_light, wrap, n_win, cwin, swin, colmm, sigT, bigW):
+                has_light, wrap, n_win, cwin, swin, colmm, sigT, bigW,
+                assoc):
     wbc_s = ts_s = wbg_s = None
     wbm_s = joff_s = mat_s = None
+    gw_s = v_s = lgw_s = vl_s = None
+    if assoc:
+        n_assoc = 4 if has_light else 2
+        if has_light:
+            refs, lgw_s, vl_s = refs[:-2], refs[-2], refs[-1]
+        refs, gw_s, v_s = refs[:-2], refs[-2], refs[-1]
     if cwin:
         refs, ts_s = refs[:-1], refs[-1]
     if colmm:
         refs, wbc_s = refs[:-1], refs[-1]
-    if bigW:
+    if bigW or assoc:
         refs, wbg_s = refs[:-1], refs[-1]
-    if bigW != 2:
+    if bigW != 2 and not assoc:
         if swin:
             refs, wbm_s, joff_s, mat_s = (refs[:-3], refs[-3], refs[-2],
                                           refs[-1])
@@ -745,12 +781,18 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
         n_bt = (B // LANES) if swin else 1
         Wc = swin * LANES
 
-        if bigW:
+        if bigW or assoc:
             # ONE full-width one-hot matrix per slice (B, Wb): a single
             # bulk build at rb==0, a single static (RB, B) x (B, Wb) dot
             # for the recompute, and (bigW == 2) the SAME matrix
             # transposed for the column scatter — no separate wbm build,
-            # no dynamic scratch traffic at all.
+            # no dynamic scratch traffic at all. The assoc form
+            # additionally RE-ASSOCIATES both bilinear forms around it:
+            #   sigma_rb = wa_rb @ (G_s @ W)        (gw built per slice)
+            #   dG_s     = (sum_rb wa_rb^T dsig_rb) @ W^T   (v per slice)
+            # so the Wb x B contractions run once per SLICE instead of
+            # once per (row block, slice) — ~40% of the bwd MXU flops at
+            # the flagship (A/B in PROFILE_r5.json).
             @pl.when(rb == 0)
             def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
                 src = jax.lax.broadcasted_iota(jnp.int32, (B, Wb_n), 0)
@@ -759,6 +801,16 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                 wbg_s[c] = (jnp.where(src == i0[None, :], w0, 0.0)
                             + jnp.where(src == i1[None, :], w1, 0.0)
                             ).astype(wbg_s.dtype)
+                if assoc:
+                    gm = g_ref[c]
+                    gw_s[c] = jnp.dot(gm, wbg_s[c],
+                                      preferred_element_type=jnp.float32)
+                    v_s[c] = jnp.zeros(v_s.shape[1:], jnp.float32)
+                    if has_light:
+                        lgw_s[c] = jnp.dot(
+                            l_ref[c], wbg_s[c],
+                            preferred_element_type=jnp.float32)
+                        vl_s[c] = jnp.zeros(vl_s.shape[1:], jnp.float32)
 
         def _wbm_build(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in, delta=delta):
             if not swin:
@@ -794,7 +846,7 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                     + jnp.where(colsw == i1w[:, None], w1w[:, None], 0.0)
                 ).astype(wbm_s.dtype)
 
-        if bigW != 2:  # bigW==2 replaces wbm entirely (skip the build)
+        if bigW != 2 and not assoc:  # big/assoc replace wbm entirely
             pl.when(rb == 0)(_wbm_build)
 
         def resampleT(t, c=c):
@@ -829,9 +881,14 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
             # Recompute sigma exactly as the forward kernel did (the
             # matmul column stage sums the same two taps — equal up to
             # f32 summation order).
-            t = _pad_lanes(jnp.dot(wa_ref[c], vol_win(g_ref, c),
-                                   preferred_element_type=jnp.float32), B)
-            if bigW:
+            t = (None if assoc else
+                 _pad_lanes(jnp.dot(wa_ref[c], vol_win(g_ref, c),
+                                    preferred_element_type=jnp.float32),
+                            B))
+            if assoc:
+                sigma = jnp.dot(wa_ref[c], vol_win(gw_s, c),
+                                preferred_element_type=jnp.float32) * sscale
+            elif bigW:
                 tm = t[:, :B]
                 tm = tm.astype(jnp.bfloat16) if low else tm
                 sigma = jnp.dot(tm, wbg_s[c],
@@ -856,10 +913,14 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                                       cwin, ts_s)
                          * b_in[None, :] * sscale)
             if has_light:
-                tl = _pad_lanes(jnp.dot(wa_ref[c], vol_win(l_ref, c),
-                                        preferred_element_type=jnp.float32),
-                                B)
-                if bigW:
+                tl = (None if assoc else
+                      _pad_lanes(jnp.dot(
+                          wa_ref[c], vol_win(l_ref, c),
+                          preferred_element_type=jnp.float32), B))
+                if assoc:
+                    lT = jnp.dot(wa_ref[c], vol_win(lgw_s, c),
+                                 preferred_element_type=jnp.float32)
+                elif bigW:
                     tlm = tl[:, :B]
                     tlm = tlm.astype(jnp.bfloat16) if low else tlm
                     lT = jnp.dot(tlm, wbg_s[c],
@@ -917,20 +978,54 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                                      preferred_element_type=jnp.float32))
             return jnp.concatenate(parts, axis=1)
 
-        u = scatter(dsig * sscale)
-        u = u.astype(jnp.bfloat16) if low else u
-        acc_out(dg_ref, c, jax.lax.dot_general(
-            wa_ref[c], u, tA, preferred_element_type=jnp.float32))
-        if has_light:
-            ul = scatter(dlT)
-            ul = ul.astype(jnp.bfloat16) if low else ul
-            acc_out(dl_ref, c, jax.lax.dot_general(
-                wa_ref[c], ul, tA, preferred_element_type=jnp.float32))
+        if assoc:
+            cd11 = (((1,), (1,)), ((), ()))
+
+            def v_acc(vref, mat, c=c):
+                m = mat.astype(jnp.bfloat16) if low else mat
+                vw = jax.lax.dot_general(
+                    wa_ref[c], m, tA,
+                    preferred_element_type=jnp.float32)  # (Wr, Wb)
+                if n_win:
+                    w_el2 = n_win * GRAN
+                    off2 = pl.multiple_of(rowoff_ref[sc, rb] * GRAN, GRAN)
+                    vref[c, pl.ds(off2, w_el2), :] = (
+                        vref[c, pl.ds(off2, w_el2), :] + vw)
+                else:
+                    vref[c] = vref[c] + vw
+
+            v_acc(v_s, dsig * sscale)
+            if has_light:
+                v_acc(vl_s, dlT)
+
+            @pl.when(rb == pl.num_programs(1) - 1)
+            def _(c=c):
+                vv = v_s[c]
+                vv = vv.astype(jnp.bfloat16) if low else vv
+                dg_ref[c] = jax.lax.dot_general(
+                    vv, wbg_s[c], cd11,
+                    preferred_element_type=jnp.float32)
+                if has_light:
+                    vl = vl_s[c]
+                    vl = vl.astype(jnp.bfloat16) if low else vl
+                    dl_ref[c] = jax.lax.dot_general(
+                        vl, wbg_s[c], cd11,
+                        preferred_element_type=jnp.float32)
+        else:
+            u = scatter(dsig * sscale)
+            u = u.astype(jnp.bfloat16) if low else u
+            acc_out(dg_ref, c, jax.lax.dot_general(
+                wa_ref[c], u, tA, preferred_element_type=jnp.float32))
+            if has_light:
+                ul = scatter(dlT)
+                ul = ul.astype(jnp.bfloat16) if low else ul
+                acc_out(dl_ref, c, jax.lax.dot_general(
+                    wa_ref[c], ul, tA, preferred_element_type=jnp.float32))
 
 
 def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
-             n_win, cwin, swin, colmm, sigT, bigW, emission, cw, bct, tck,
-             wck, ctacc, interpret=False, wrap=False):
+             n_win, cwin, swin, colmm, sigT, bigW, assoc, emission, cw,
+             bct, tck, wck, ctacc, interpret=False, wrap=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
     Wr = wa_all.shape[2]  # A (dense) or n_win * GRAN (windowed)
@@ -974,7 +1069,7 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         out_specs.append(dgs)
         out_shape.append(jax.ShapeDtypeStruct((S, A, B), jnp.float32))
 
-    if bigW == 2:
+    if bigW == 2 or assoc:
         scratch = []  # the big matrix serves the scatter too
     elif swin:
         scratch = [pltpu.VMEM((ch, B // LANES, swin * LANES, LANES),
@@ -983,8 +1078,9 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
                    pltpu.VMEM((RB, Wb_n), jnp.float32)]
     else:
         scratch = [pltpu.VMEM((ch, Wb_n, B), gperm.dtype)]
-    # order must mirror _bwd_kernel's pops: [..., wbg][, wbc][, ts last]
-    if bigW:
+    # order must mirror _bwd_kernel's pops (taken from the END in this
+    # sequence): [wbm family][wbg][wbc][ts][gw, v][lgw, vl]
+    if bigW or assoc:
         scratch.append(pltpu.VMEM((ch, B, Wb_n), gperm.dtype))
     if colmm:
         # full-width stacked matrices (both the windowed form and the
@@ -993,6 +1089,12 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
                                   gperm.dtype))
     if cwin:
         scratch.append(pltpu.VMEM((RB, max(B, LANES)), jnp.float32))
+    if assoc:
+        scratch += [pltpu.VMEM((ch, A, Wb_n), jnp.float32),
+                    pltpu.VMEM((ch, A, Wb_n), jnp.float32)]
+        if has_light:
+            scratch += [pltpu.VMEM((ch, A, Wb_n), jnp.float32),
+                        pltpu.VMEM((ch, A, Wb_n), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_sc, n_rb),
@@ -1005,7 +1107,7 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         functools.partial(_bwd_kernel, emission=emission, ch=ch,
                           has_light=has_light, wrap=wrap, n_win=n_win,
                           cwin=cwin, swin=swin, colmm=colmm, sigT=sigT,
-                          bigW=bigW),
+                          bigW=bigW, assoc=assoc),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -1148,7 +1250,12 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     # its autodiff transpose is another reverse); everything traced goes
     # in as an explicit argument (see _fused_vjp).
     g = gperm[::-1] if flip else gperm
-    colmm_f = colmm and _COL_STAGE_FWD in ("auto", "mm", "1")
+    fwd_form = _col_stage_fwd()
+    colmm_f = 0
+    if colmm and fwd_form in ("auto", "mm", "1"):
+        colmm_f = 1
+    elif colmm and fwd_form == "big":
+        colmm_f = 2
     # Backward sigma/scatter form (all need colmm's lane tiling):
     #   colmm    — r4: per-chunk one-hot matrices, windowed wbm scatter
     #   scatterT — windowed-wbm^T recompute (lost its A/B: dynamic
@@ -1157,11 +1264,11 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     #   big      — the same matrix for recompute AND (transposed) scatter
     form = _bwd_sigma()
     sigT = colmm and form == "scatterT"
-    bigW = ({"big": 2, "bigsig": 1, "auto": 2}.get(form, 0)
-            if colmm else 0)
+    bigW = ({"big": 2, "bigsig": 1}.get(form, 0) if colmm else 0)
+    assoc = colmm and form in ("auto", "assoc")
     f = _fused_vjp(cfg.emission, lperm is not None, n_win, cwin, swin,
-                   colmm, colmm_f, sigT, bigW, interpret, wrap_mode,
-                   cfg.dtype)
+                   colmm, colmm_f, sigT, bigW, assoc, interpret,
+                   wrap_mode, cfg.dtype)
     if lperm is None:
         return f(g, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
                  params, rowoff)
@@ -1172,7 +1279,7 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
 
 @functools.lru_cache(maxsize=None)
 def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
-               sigT, bigW, interpret, wrap, dtype_name):
+               sigT, bigW, assoc, interpret, wrap, dtype_name):
     """custom_vjp instance for one static kernel configuration.
 
     EVERY traced array is an explicit argument: a custom_vjp must not
@@ -1201,14 +1308,14 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
             bct = ct_trans * trans + cw * wsum
             return _run_bwd(g, l, slice_z, wa, ug, seg, params, rowoff,
                             n_win, cwin, swin,
-                            colmm and not (sigT or bigW), sigT, bigW,
-                            True, cw, bct, tck, wck, None, interpret,
-                            wrap)
+                            colmm and not (sigT or bigW or assoc), sigT,
+                            bigW, assoc, True, cw, bct, tck, wck, None,
+                            interpret, wrap)
         return _run_bwd(g, l, slice_z, wa, ug, seg, params, rowoff,
                         n_win, cwin, swin,
-                        colmm and not (sigT or bigW), sigT, bigW,
-                        False, None, None, None, None, ct_acc, interpret,
-                        wrap)
+                        colmm and not (sigT or bigW or assoc), sigT,
+                        bigW, assoc, False, None, None, None, None,
+                        ct_acc, interpret, wrap)
 
     def plan_zeros(slice_z, wa, ug, seg, params, rowoff):
         return (jnp.zeros_like(slice_z), jnp.zeros_like(wa),
