@@ -171,7 +171,7 @@ __all__ = ["supported", "sweep_base_pallas"]
 # ---------------------------------------------------------------------------
 
 
-def _row_windows(plan, A, n_win):
+def _row_windows(plan, A, n_win, ch):
     """Window offsets AND windowed banded row matrices, computed from ONE
     evaluation of the tap indices (so the two can never disagree at a
     texel boundary).
@@ -192,7 +192,6 @@ def _row_windows(plan, A, n_win):
     +-1-texel f32-drift margin) so n_win always covers it."""
     S = plan.slice_z.shape[0]
     Hb = plan.v_grid.shape[0]
-    ch = math.gcd(CHUNK, S)
     n_sc, n_rb = S // ch, Hb // RB
     delta = plan.slice_z - plan.eye01[0]
     a01 = plan.eye01[1] + delta[:, None] * plan.v_grid[None, :]  # (S, Hb)
@@ -580,14 +579,13 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
 
 
 def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
-             n_win, cwin, colmm, emission, with_ckpt, interpret=False,
+             n_win, cwin, colmm, ch, emission, with_ckpt, interpret=False,
              wrap=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
     Wr = wa_all.shape[2]  # A (dense) or n_win * GRAN (windowed)
     Wb_n = u_grid.shape[0]
     n_rb = Hb // RB
-    ch = math.gcd(CHUNK, S)
     n_sc = S // ch
     has_light = lperm is not None
 
@@ -1024,14 +1022,13 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
 
 
 def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
-             n_win, cwin, swin, colmm, sigT, bigW, assoc, emission, cw,
-             bct, tck, wck, ctacc, interpret=False, wrap=False):
+             n_win, cwin, swin, colmm, sigT, bigW, assoc, ch, emission,
+             cw, bct, tck, wck, ctacc, interpret=False, wrap=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
     Wr = wa_all.shape[2]  # A (dense) or n_win * GRAN (windowed)
     Wb_n = u_grid.shape[0]
     n_rb = Hb // RB
-    ch = math.gcd(CHUNK, S)
     n_sc = S // ch
     has_light = lperm is not None
 
@@ -1198,13 +1195,39 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     params = _params_for(plan, cfg, medium, lt)
     kdt = cfg.jnp_dtype  # stream dtype: grid + row matrices (bf16-able)
     A = gperm.shape[1]
+    B = gperm.shape[2]
+    S = plan.slice_z.shape[0]
+    Wb_n = plan.u_grid.shape[0]
+    # Backward column stage: full-width MXU matmuls whenever the grid
+    # cols tile the lanes (correct for every address mode — the one-hot
+    # build compares against arbitrary in-range taps).
+    colmm = (_COL_STAGE in ("auto", "mm", "1")
+             and B % LANES == 0
+             and Wb_n % LANES == 0)
+    form = _bwd_sigma()
+    sigT = colmm and form == "scatterT"
+    bigW = ({"big": 2, "bigsig": 1}.get(form, 0) if colmm else 0)
+    assoc = colmm and form in ("auto", "assoc")
+    # Slice-chunk size: gcd(CHUNK, S), halved while the assoc form's
+    # per-chunk scratch (wbg + gw + v [+ lgw + vl]) would overflow VMEM
+    # (the 512^3 assoc compile failed at ch=8: ~75 MB of scratch; ch=4
+    # fits). fwd, bwd AND the row-offset tables must agree on ch — the
+    # backward replays from the forward's per-chunk checkpoints and
+    # rowoff is indexed by slice chunk.
+    ch = math.gcd(CHUNK, S)
+    if assoc:
+        per = 4 * (B * Wb_n
+                   + (2 if lperm is None else 4) * A * Wb_n)
+        while ch > 1 and ch * per > 56 * 1024 * 1024:
+            ch = math.gcd(ch // 2, S)
+            ch = max(ch, 1)
     rw = 0 if "row" in _WIN_DISABLE else getattr(plan, "row_window", 0)
     n_win = 0
     if (rw and rw % GRAN == 0 and rw < A and A % GRAN == 0
             and cfg.address_mode in ("mirror", "clamp")):
         n_win = rw // GRAN
     if n_win:
-        rowoff, wa_win = _row_windows(plan, A, n_win)
+        rowoff, wa_win = _row_windows(plan, A, n_win, ch)
         rowoff = jax.lax.stop_gradient(rowoff)
         wa_all = jax.lax.stop_gradient(wa_win).astype(kdt)
     else:
@@ -1212,7 +1235,6 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
         wa_all = jax.lax.stop_gradient(
             _row_matrices(plan, A, cfg.address_mode)).astype(kdt)
     wrap_mode = cfg.address_mode == "wrap"
-    B = gperm.shape[2]
     cw_el = 0 if "col" in _WIN_DISABLE else getattr(plan, "col_window", 0)
     cwin = 0
     if (cw_el and cw_el % LANES == 0 and B % LANES == 0 and cw_el < B
@@ -1225,15 +1247,6 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
             and sw_el < plan.u_grid.shape[0]
             and cfg.address_mode in ("mirror", "clamp")):
         swin = sw_el // LANES
-    # Backward column stage: full-width MXU matmuls whenever the grid
-    # cols tile the lanes (correct for every address mode — the one-hot
-    # build compares against arbitrary in-range taps). The forward keeps
-    # the lane gathers: its grid is rb-major, so per-slice matrices
-    # cannot be amortized there (build-per-use loses the win).
-    colmm = (_COL_STAGE in ("auto", "mm", "1")
-             and B % LANES == 0
-             and plan.u_grid.shape[0] % LANES == 0)
-    S = plan.slice_z.shape[0]
     if S != gperm.shape[0]:
         # Sub-voxel-count quadrature (the reference marches <= 128 steps
         # for ANY volume, frag.glsl:30): lerp the volume onto the slice
@@ -1256,18 +1269,8 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
         colmm_f = 1
     elif colmm and fwd_form == "big":
         colmm_f = 2
-    # Backward sigma/scatter form (all need colmm's lane tiling):
-    #   colmm    — r4: per-chunk one-hot matrices, windowed wbm scatter
-    #   scatterT — windowed-wbm^T recompute (lost its A/B: dynamic
-    #              scratch RMW traffic; kept as a knob for re-measure)
-    #   bigsig   — ONE (B, Wb) matrix for the recompute, windowed scatter
-    #   big      — the same matrix for recompute AND (transposed) scatter
-    form = _bwd_sigma()
-    sigT = colmm and form == "scatterT"
-    bigW = ({"big": 2, "bigsig": 1}.get(form, 0) if colmm else 0)
-    assoc = colmm and form in ("auto", "assoc")
     f = _fused_vjp(cfg.emission, lperm is not None, n_win, cwin, swin,
-                   colmm, colmm_f, sigT, bigW, assoc, interpret,
+                   colmm, colmm_f, sigT, bigW, assoc, ch, interpret,
                    wrap_mode, cfg.dtype)
     if lperm is None:
         return f(g, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
@@ -1279,7 +1282,7 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
 
 @functools.lru_cache(maxsize=None)
 def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
-               sigT, bigW, assoc, interpret, wrap, dtype_name):
+               sigT, bigW, assoc, ch, interpret, wrap, dtype_name):
     """custom_vjp instance for one static kernel configuration.
 
     EVERY traced array is an explicit argument: a custom_vjp must not
@@ -1295,8 +1298,8 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
         return _run_fwd(g.astype(kdt),
                         None if l is None else l.astype(kdt),
                         slice_z, wa, ug, seg, params, rowoff, n_win,
-                        cwin, colmm_f, emission, with_ckpt, interpret,
-                        wrap)
+                        cwin, colmm_f, ch, emission, with_ckpt,
+                        interpret, wrap)
 
     def run_bwd(g, l, ct, trans, wsum, tck, wck, slice_z, wa, ug, seg,
                 params, rowoff):
@@ -1309,12 +1312,12 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
             return _run_bwd(g, l, slice_z, wa, ug, seg, params, rowoff,
                             n_win, cwin, swin,
                             colmm and not (sigT or bigW or assoc), sigT,
-                            bigW, assoc, True, cw, bct, tck, wck, None,
-                            interpret, wrap)
+                            bigW, assoc, ch, True, cw, bct, tck, wck,
+                            None, interpret, wrap)
         return _run_bwd(g, l, slice_z, wa, ug, seg, params, rowoff,
                         n_win, cwin, swin,
                         colmm and not (sigT or bigW or assoc), sigT,
-                        bigW, assoc, False, None, None, None, None,
+                        bigW, assoc, ch, False, None, None, None, None,
                         ct_acc, interpret, wrap)
 
     def plan_zeros(slice_z, wa, ug, seg, params, rowoff):

@@ -539,6 +539,7 @@ def plan_sweep(
         aspect=float(camera.aspect), c_k=c_k, c_a=c_a, c_b=c_b,
         n_slices=S, tile=warp_tile, hb=Hb, wb=Wb,
         clamp_band=clamp_band,
+        pb=int(_os.environ.get("VOLT_WARP_PB", 2)),
     )
     if not trust_band:
         band_np = np.asarray(band)  # the one synchronous round trip
@@ -644,9 +645,10 @@ def _pick_warp_tile(Hb: int, Wb: int) -> int:
 
 @partial(jax.jit,
          static_argnames=("width", "height", "aspect", "c_k", "c_a", "c_b",
-                          "n_slices", "tile", "hb", "wb", "clamp_band"))
+                          "n_slices", "tile", "hb", "wb", "clamp_band",
+                          "pb"))
 def _device_plan(packed, *, width, height, aspect, c_k, c_a, c_b,
-                 n_slices, tile, hb, wb, clamp_band=None):
+                 n_slices, tile, hb, wb, clamp_band=None, pb=4):
     """Device-side plan arrays from ONE packed f32 upload: seglen map,
     pixel->base warp coords (atan space), per-pixel-tile base windows for
     the warp adjoint, and the pass-through plan vectors (so a plan build
@@ -710,7 +712,13 @@ def _device_plan(packed, *, width, height, aspect, c_k, c_a, c_b,
 
     r0, r1 = texel_range(rows01, hb)
     c0, c1 = texel_range(cols01, wb)
-    PB = 8
+    # Pixel-block pre-reduction granularity: each warp rect is
+    # conservative to pb pixels per edge, so smaller pb -> tighter rects
+    # -> smaller band -> fewer warp flops (the warp's matmul work is
+    # proportional to band area). r5: flagship band area 10240 (pb=8) ->
+    # 9216 (pb=4) -> 8432 (pb=2); pb=2 is the default (plan-build cost
+    # is one jitted dispatch either way).
+    PB = pb
     nby, nbx = -(-height // PB), -(-width // PB)
     py_pad, px_pad = nby * PB - height, nbx * PB - width
 
