@@ -194,8 +194,28 @@ def main():
         # real-chip capture.
         try:
             t0 = time.perf_counter()
-            grid5 = jax.block_until_ready(
-                jax.jit(cloud_volume, static_argnums=(0,))(512, 7))
+            try:
+                grid5 = jax.block_until_ready(
+                    jax.jit(cloud_volume, static_argnums=(0,))(512, 7))
+            except Exception:
+                # the 512^3 noise graph overflows HBM through the
+                # remote compiler; an upsampled 256^3 cloud is an
+                # equally valid 512^3 density payload (scale512.py's
+                # fallback)
+                from volumetricrenderer_tpu.ops.resample import \
+                    linear_resample_matrix
+
+                @jax.jit
+                def upsample():
+                    g = cloud_volume(256, seed=7)
+                    q = (jnp.arange(512, dtype=jnp.float32) + 0.5) / 512
+                    W = linear_resample_matrix(q, 256, "clamp")
+                    for dim in range(3):
+                        g = jnp.moveaxis(
+                            jnp.tensordot(W, g, axes=(1, dim)), 0, dim)
+                    return g
+
+                grid5 = jax.block_until_ready(upsample())
             plan5 = plan_sweep(cam, grid5.shape, cfg, n_slices=128)
             jax.block_until_ready(plan5.seglen)
 
