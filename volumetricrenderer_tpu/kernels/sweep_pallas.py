@@ -85,10 +85,27 @@ from ..config import LightConfig, MediumConfig, RenderConfig
 
 import os as _os
 
-# Base rows per block (plan base dims are multiples of 128). Env knob
-# for chip A/Bs: 256 halves the per-block dispatch count and doubles the
-# matmul M dim.
-RB = int(_os.environ.get("VOLT_RB", 128))
+# Base rows per block (plan base dims are multiples of 128). "auto"
+# picks 256 when the base rows divide it (a ~4% chip win at the
+# flagship: fewer per-block dispatches, better matmul M) and 128
+# otherwise; VOLT_RB forces a value. RB is the floor used by static
+# gates; _rb_for(Hb) is the per-plan choice and MUST be computed
+# identically by ops/sweep._row_window_blocks (the host row-window
+# bound is per-RB-block).
+RB = 128
+
+
+def _rb_for(Hb: int) -> int:
+    v = _os.environ.get("VOLT_RB", "auto")
+    if v not in ("", "auto"):
+        return int(v)
+    # Default 128. 256 won ~4% under the 'big' backward (fewer, bigger
+    # blocks) but LOSES under the final assoc form (13.59 vs 13.40 ms
+    # full fwd+bwd, interleaved): the 256-row block's row window widens
+    # 128 -> 192 (+50% sigma/v contraction flops) and assoc already
+    # amortized the per-block costs 256 was saving. Chip table in
+    # PROFILE_r5.json rb_chunk_ab.
+    return 128
 CHUNK = int(_os.environ.get("VOLT_SWEEP_CHUNK", 8))
 # slices per grid step (statically unrolled in the kernel; 16 measured
 # r3: fwd -0.4 ms but bwd +1.2 ms and 2x bwd scratch; env knob for A/Bs)
@@ -171,7 +188,7 @@ __all__ = ["supported", "sweep_base_pallas"]
 # ---------------------------------------------------------------------------
 
 
-def _row_windows(plan, A, n_win, ch):
+def _row_windows(plan, A, n_win, ch, rb_blk=RB):
     """Window offsets AND windowed banded row matrices, computed from ONE
     evaluation of the tap indices (so the two can never disagree at a
     texel boundary).
@@ -192,7 +209,7 @@ def _row_windows(plan, A, n_win, ch):
     +-1-texel f32-drift margin) so n_win always covers it."""
     S = plan.slice_z.shape[0]
     Hb = plan.v_grid.shape[0]
-    n_sc, n_rb = S // ch, Hb // RB
+    n_sc, n_rb = S // ch, Hb // rb_blk
     delta = plan.slice_z - plan.eye01[0]
     a01 = plan.eye01[1] + delta[:, None] * plan.v_grid[None, :]  # (S, Hb)
     p = a01 * A - 0.5
@@ -202,10 +219,12 @@ def _row_windows(plan, A, n_win, ch):
     valid = (a01 >= 0.0) & (a01 <= 1.0)
 
     lo = jnp.where(valid, jnp.clip(i0, 0, A - 1), jnp.int32(1 << 30))
-    lo = jnp.min(lo.reshape(n_sc, ch, n_rb, RB), axis=(1, 3))
+    lo = jnp.min(lo.reshape(n_sc, ch, n_rb, rb_blk),
+                 axis=(1, 3))
     off_gran = jnp.clip(lo // GRAN, 0, A // GRAN - n_win).astype(jnp.int32)
 
-    off_el = jnp.repeat(jnp.repeat(off_gran * GRAN, ch, axis=0), RB, axis=1)
+    off_el = jnp.repeat(jnp.repeat(off_gran * GRAN, ch, axis=0),
+                        rb_blk, axis=1)
     a0 = jnp.clip(i0, 0, A - 1) - off_el
     a1 = jnp.clip(i0 + 1, 0, A - 1) - off_el
     inr = valid.astype(jnp.float32)
@@ -579,13 +598,13 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
 
 
 def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
-             n_win, cwin, colmm, ch, emission, with_ckpt, interpret=False,
-             wrap=False):
+             n_win, cwin, colmm, ch, rb_blk, emission, with_ckpt,
+             interpret=False, wrap=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
     Wr = wa_all.shape[2]  # A (dense) or n_win * GRAN (windowed)
     Wb_n = u_grid.shape[0]
-    n_rb = Hb // RB
+    n_rb = Hb // rb_blk
     n_sc = S // ch
     has_light = lperm is not None
 
@@ -607,11 +626,11 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
 
     in_specs, inputs = vol_specs(gperm)
     in_specs += [
-        pl.BlockSpec((ch, RB, Wr), lambda rb, sc, *_: (sc, rb, 0),
+        pl.BlockSpec((ch, rb_blk, Wr), lambda rb, sc, *_: (sc, rb, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Wb_n), lambda rb, sc, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((RB, Wb_n), lambda rb, sc, *_: (rb, 0),
+        pl.BlockSpec((rb_blk, Wb_n), lambda rb, sc, *_: (rb, 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs += [wa_all, u_grid.reshape(1, Wb_n), seglen]
@@ -620,12 +639,12 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         in_specs += ls
         inputs += li
 
-    map_out = pl.BlockSpec((RB, Wb_n), lambda rb, sc, *_: (rb, 0),
+    map_out = pl.BlockSpec((rb_blk, Wb_n), lambda rb, sc, *_: (rb, 0),
                            memory_space=pltpu.VMEM)
     out_specs = [map_out] * 4
     out_shape = [jax.ShapeDtypeStruct((Hb, Wb_n), jnp.float32)] * 4
     if with_ckpt:
-        ck = pl.BlockSpec((1, RB, Wb_n), lambda rb, sc, *_: (sc, rb, 0),
+        ck = pl.BlockSpec((1, rb_blk, Wb_n), lambda rb, sc, *_: (sc, rb, 0),
                           memory_space=pltpu.VMEM)
         out_specs += [ck, ck]
         out_shape += [jax.ShapeDtypeStruct((n_sc, Hb, Wb_n),
@@ -636,7 +655,7 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         grid=(n_rb, n_sc),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=([pltpu.VMEM((RB, max(B, LANES)), jnp.float32)]
+        scratch_shapes=([pltpu.VMEM((rb_blk, max(B, LANES)), jnp.float32)]
                         if cwin else []),
     )
     light_mul = 2 if has_light else 1
@@ -1022,13 +1041,14 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
 
 
 def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
-             n_win, cwin, swin, colmm, sigT, bigW, assoc, ch, emission,
-             cw, bct, tck, wck, ctacc, interpret=False, wrap=False):
+             n_win, cwin, swin, colmm, sigT, bigW, assoc, ch, rb_blk,
+             emission, cw, bct, tck, wck, ctacc, interpret=False,
+             wrap=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
     Wr = wa_all.shape[2]  # A (dense) or n_win * GRAN (windowed)
     Wb_n = u_grid.shape[0]
-    n_rb = Hb // RB
+    n_rb = Hb // rb_blk
     n_sc = S // ch
     has_light = lperm is not None
 
@@ -1036,16 +1056,16 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
     in_specs = [
         pl.BlockSpec((ch, A, B), lambda sc, rb, *_: (sc, 0, 0),
                      memory_space=vm),
-        pl.BlockSpec((ch, RB, Wr), lambda sc, rb, *_: (sc, rb, 0),
+        pl.BlockSpec((ch, rb_blk, Wr), lambda sc, rb, *_: (sc, rb, 0),
                      memory_space=vm),
         pl.BlockSpec((1, Wb_n), lambda sc, rb, *_: (0, 0), memory_space=vm),
-        pl.BlockSpec((RB, Wb_n), lambda sc, rb, *_: (rb, 0),
+        pl.BlockSpec((rb_blk, Wb_n), lambda sc, rb, *_: (rb, 0),
                      memory_space=vm),
     ]
     inputs = [gperm, wa_all, u_grid.reshape(1, Wb_n), seglen]
-    map_rb = pl.BlockSpec((RB, Wb_n), lambda sc, rb, *_: (rb, 0),
+    map_rb = pl.BlockSpec((rb_blk, Wb_n), lambda sc, rb, *_: (rb, 0),
                           memory_space=vm)
-    ck = pl.BlockSpec((1, RB, Wb_n), lambda sc, rb, *_: (sc, rb, 0),
+    ck = pl.BlockSpec((1, rb_blk, Wb_n), lambda sc, rb, *_: (sc, rb, 0),
                       memory_space=vm)
     if emission:
         in_specs += [map_rb, map_rb, ck, ck]
@@ -1072,7 +1092,7 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         scratch = [pltpu.VMEM((ch, B // LANES, swin * LANES, LANES),
                               gperm.dtype),
                    pltpu.SMEM((ch, B // LANES), jnp.int32),
-                   pltpu.VMEM((RB, Wb_n), jnp.float32)]
+                   pltpu.VMEM((rb_blk, Wb_n), jnp.float32)]
     else:
         scratch = [pltpu.VMEM((ch, Wb_n, B), gperm.dtype)]
     # order must mirror _bwd_kernel's pops (taken from the END in this
@@ -1085,7 +1105,7 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         scratch.append(pltpu.VMEM((ch, Wb_n // LANES, B, LANES),
                                   gperm.dtype))
     if cwin:
-        scratch.append(pltpu.VMEM((RB, max(B, LANES)), jnp.float32))
+        scratch.append(pltpu.VMEM((rb_blk, max(B, LANES)), jnp.float32))
     if assoc:
         scratch += [pltpu.VMEM((ch, A, Wb_n), jnp.float32),
                     pltpu.VMEM((ch, A, Wb_n), jnp.float32)]
@@ -1226,8 +1246,9 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     if (rw and rw % GRAN == 0 and rw < A and A % GRAN == 0
             and cfg.address_mode in ("mirror", "clamp")):
         n_win = rw // GRAN
+    rb_blk = _rb_for(plan.v_grid.shape[0])
     if n_win:
-        rowoff, wa_win = _row_windows(plan, A, n_win, ch)
+        rowoff, wa_win = _row_windows(plan, A, n_win, ch, rb_blk)
         rowoff = jax.lax.stop_gradient(rowoff)
         wa_all = jax.lax.stop_gradient(wa_win).astype(kdt)
     else:
@@ -1270,8 +1291,8 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     elif colmm and fwd_form == "big":
         colmm_f = 2
     f = _fused_vjp(cfg.emission, lperm is not None, n_win, cwin, swin,
-                   colmm, colmm_f, sigT, bigW, assoc, ch, interpret,
-                   wrap_mode, cfg.dtype)
+                   colmm, colmm_f, sigT, bigW, assoc, ch, rb_blk,
+                   interpret, wrap_mode, cfg.dtype)
     if lperm is None:
         return f(g, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
                  params, rowoff)
@@ -1282,7 +1303,8 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
 
 @functools.lru_cache(maxsize=None)
 def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
-               sigT, bigW, assoc, ch, interpret, wrap, dtype_name):
+               sigT, bigW, assoc, ch, rb_blk, interpret, wrap,
+               dtype_name):
     """custom_vjp instance for one static kernel configuration.
 
     EVERY traced array is an explicit argument: a custom_vjp must not
@@ -1298,7 +1320,7 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
         return _run_fwd(g.astype(kdt),
                         None if l is None else l.astype(kdt),
                         slice_z, wa, ug, seg, params, rowoff, n_win,
-                        cwin, colmm_f, ch, emission, with_ckpt,
+                        cwin, colmm_f, ch, rb_blk, emission, with_ckpt,
                         interpret, wrap)
 
     def run_bwd(g, l, ct, trans, wsum, tck, wck, slice_z, wa, ug, seg,
@@ -1312,13 +1334,13 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
             return _run_bwd(g, l, slice_z, wa, ug, seg, params, rowoff,
                             n_win, cwin, swin,
                             colmm and not (sigT or bigW or assoc), sigT,
-                            bigW, assoc, ch, True, cw, bct, tck, wck,
-                            None, interpret, wrap)
+                            bigW, assoc, ch, rb_blk, True, cw, bct, tck,
+                            wck, None, interpret, wrap)
         return _run_bwd(g, l, slice_z, wa, ug, seg, params, rowoff,
                         n_win, cwin, swin,
                         colmm and not (sigT or bigW or assoc), sigT,
-                        bigW, assoc, ch, False, None, None, None, None,
-                        ct_acc, interpret, wrap)
+                        bigW, assoc, ch, rb_blk, False, None, None, None,
+                        None, ct_acc, interpret, wrap)
 
     def plan_zeros(slice_z, wa, ug, seg, params, rowoff):
         return (jnp.zeros_like(slice_z), jnp.zeros_like(wa),

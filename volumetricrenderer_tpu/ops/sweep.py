@@ -331,7 +331,8 @@ def _row_window_blocks(slice_z, e_k, e_a, v_grid, A, Hb, S):
     Returns the window in grid rows (multiple of GRAN), or 0 when
     windowing cannot help (span ~ A). Must mirror
     kernels/sweep_pallas._row_window_offsets exactly."""
-    from ..kernels.sweep_pallas import CHUNK, GRAN, RB
+    from ..kernels.sweep_pallas import CHUNK, GRAN, _rb_for
+    RB = _rb_for(Hb)  # MUST match the kernels' per-plan block choice
     if A % GRAN or Hb % RB:
         return 0
     ch = math.gcd(CHUNK, S)
