@@ -679,6 +679,212 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
     )(slice_z, params, rowoff, *inputs)
 
 
+
+# ---------------------------------------------------------------------------
+# Forward kernel, sc-major "assoc" form (round 5).
+#
+# The backward's winning re-association (one full-width one-hot matrix W
+# per slice; sigma_rb = wa_rb @ (G_s @ W)) needs per-slice scratch
+# amortized across row blocks — impossible in the rb-major forward
+# (its carries live in per-rb output blocks that must be revisited
+# consecutively). This variant flips the forward to the backward's
+# (sc, rb) grid and keeps the carries in FULL-SIZE (Hb, Wb)
+# constant-index output blocks instead (VMEM-resident the whole kernel,
+# written once — v5e has a single TensorCore, so no megacore ownership
+# concern), with each (sc, rb) step updating its own sublane-windowed
+# row range. Per-(rb, slice) flops drop from (row t: A_eff*B) +
+# (column stage: B*Wb) to (wa @ gw: A_eff*Wb) with the gw build
+# (A*B*Wb) amortized once per slice — at the flagship 126 -> 67 MF.
+# Checkpoint outputs keep the exact rb-major shapes, so the backward is
+# untouched. VMEM: ~72 MB fwd-only / ~91 MB with checkpoints at the
+# flagship (fits the 100 MB limit); the same budget-aware ch applies.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_sc(slice_z_ref, params_ref, rowoff_ref, *refs, emission,
+                   ch, has_light, with_ckpt, wrap, n_win):
+    i = 0
+    g_ref = refs[i]; i += 1
+    wa_ref = refs[i]; i += 1
+    ug_ref = refs[i]; i += 1
+    seg_ref = refs[i]; i += 1
+    l_ref = None
+    if has_light:
+        l_ref = refs[i]; i += 1
+    acc_ref, trans_ref, wsum_ref, hit_ref = refs[i:i + 4]; i += 4
+    tck_ref = wck_ref = None
+    if with_ckpt:
+        tck_ref, wck_ref = refs[i:i + 2]; i += 2
+    wbg_s = refs[i]; i += 1
+    gw_s = refs[i]; i += 1
+    lgw_s = refs[i] if has_light else None
+
+    sc = pl.program_id(0)
+    rb = pl.program_id(1)
+    rb_blk = wa_ref.shape[1]
+    r0 = pl.multiple_of(rb * rb_blk, rb_blk)
+
+    @pl.when(sc == 0)
+    def _():
+        acc_ref[pl.ds(r0, rb_blk), :] = jnp.zeros(
+            (rb_blk, acc_ref.shape[1]), jnp.float32)
+        trans_ref[pl.ds(r0, rb_blk), :] = jnp.ones(
+            (rb_blk, trans_ref.shape[1]), jnp.float32)
+        wsum_ref[pl.ds(r0, rb_blk), :] = jnp.zeros(
+            (rb_blk, wsum_ref.shape[1]), jnp.float32)
+        hit_ref[pl.ds(r0, rb_blk), :] = jnp.zeros(
+            (rb_blk, hit_ref.shape[1]), jnp.float32)
+
+    if with_ckpt:
+        # Chunk-entry checkpoint: the carry BEFORE this chunk's slices
+        # (same shapes/semantics as the rb-major kernel's — the
+        # backward replays from these unchanged).
+        tck_ref[0, pl.ds(r0, rb_blk), :] = trans_ref[pl.ds(r0, rb_blk), :]
+        wck_ref[0, pl.ds(r0, rb_blk), :] = wsum_ref[pl.ds(r0, rb_blk), :]
+
+    e_k, e_b = params_ref[0], params_ref[2]
+    sign, density, sscale = params_ref[3], params_ref[4], params_ref[5]
+    thresh, ambient = params_ref[6], params_ref[7]
+    B = g_ref.shape[2]
+    Wb_n = ug_ref.shape[1]
+
+    if n_win:
+        w_el = n_win * GRAN
+        off_el = pl.multiple_of(rowoff_ref[sc, rb] * GRAN, GRAN)
+
+        def gw_win(ref, c):
+            return ref[c, pl.ds(off_el, w_el), :]
+    else:
+        def gw_win(ref, c):
+            return ref[c]
+
+    for c in range(ch):
+        z = slice_z_ref[sc * ch + c]
+        delta = z - e_k
+
+        i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B, wrap)
+
+        @pl.when(rb == 0)
+        def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
+            src = jax.lax.broadcasted_iota(jnp.int32, (B, Wb_n), 0)
+            w0 = ((1.0 - fb) * b_in)[None, :]
+            w1 = (fb * b_in)[None, :]
+            wbg_s[c] = (jnp.where(src == i0[None, :], w0, 0.0)
+                        + jnp.where(src == i1[None, :], w1, 0.0)
+                        ).astype(wbg_s.dtype)
+            gw_s[c] = jnp.dot(g_ref[c], wbg_s[c],
+                              preferred_element_type=jnp.float32)
+            if has_light:
+                lgw_s[c] = jnp.dot(l_ref[c], wbg_s[c],
+                                   preferred_element_type=jnp.float32)
+
+        @pl.when(delta * sign > 0.0)
+        def _(c=c, delta=delta, i0=i0, b_in=b_in):
+            sigma = jnp.dot(wa_ref[c], gw_win(gw_s, c),
+                            preferred_element_type=jnp.float32) * sscale
+            if has_light:
+                lT = jnp.dot(wa_ref[c], gw_win(lgw_s, c),
+                             preferred_element_type=jnp.float32)
+                shade = ambient + (1.0 - ambient) * jnp.clip(lT, 0.0, 1.0)
+            else:
+                shade = 1.0
+
+            seg = seg_ref[:]
+            if emission:
+                trans = trans_ref[pl.ds(r0, rb_blk), :]
+                live = (trans > thresh).astype(jnp.float32)
+                alpha = live * (1.0 - jnp.exp(-density * sigma * seg))
+                wsum_ref[pl.ds(r0, rb_blk), :] = (
+                    wsum_ref[pl.ds(r0, rb_blk), :] + trans * alpha * shade)
+                trans_ref[pl.ds(r0, rb_blk), :] = trans * (1.0 - alpha)
+            else:
+                acc_ref[pl.ds(r0, rb_blk), :] = (
+                    acc_ref[pl.ds(r0, rb_blk), :] + sigma * seg)
+                a_in = jnp.sum(wa_ref[c], axis=1, keepdims=True)
+                a_in = jnp.minimum(a_in, 1.0)
+                hit_ref[pl.ds(r0, rb_blk), :] = jnp.maximum(
+                    hit_ref[pl.ds(r0, rb_blk), :], a_in * b_in[None, :])
+
+
+def _run_fwd_sc(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
+                rowoff, n_win, ch, rb_blk, emission, with_ckpt,
+                interpret=False, wrap=False):
+    """sc-major assoc forward — see _fwd_kernel_sc. Outputs and
+    checkpoints are bit-compatible with _run_fwd's (same shapes; the
+    backward replays from them unchanged)."""
+    S, A, B = gperm.shape
+    Hb = wa_all.shape[1]
+    Wr = wa_all.shape[2]
+    Wb_n = u_grid.shape[0]
+    n_rb = Hb // rb_blk
+    n_sc = S // ch
+    has_light = lperm is not None
+
+    vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((ch, A, B), lambda sc, rb, *_: (sc, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((ch, rb_blk, Wr), lambda sc, rb, *_: (sc, rb, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, Wb_n), lambda sc, rb, *_: (0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((rb_blk, Wb_n), lambda sc, rb, *_: (rb, 0),
+                     memory_space=vm),
+    ]
+    inputs = [gperm, wa_all, u_grid.reshape(1, Wb_n), seglen]
+    if has_light:
+        in_specs.append(pl.BlockSpec((ch, A, B),
+                                     lambda sc, rb, *_: (sc, 0, 0),
+                                     memory_space=vm))
+        inputs.append(lperm)
+
+    # Full-size constant-index carry/output blocks: VMEM-resident for
+    # the whole kernel, one write-out at the end (no per-step block
+    # swapping — the reason the rb-major form couldn't go sc-major).
+    full = pl.BlockSpec((Hb, Wb_n), lambda sc, rb, *_: (0, 0),
+                        memory_space=vm)
+    out_specs = [full] * 4
+    out_shape = [jax.ShapeDtypeStruct((Hb, Wb_n), jnp.float32)] * 4
+    if with_ckpt:
+        ck = pl.BlockSpec((1, Hb, Wb_n), lambda sc, rb, *_: (sc, 0, 0),
+                          memory_space=vm)
+        out_specs += [ck, ck]
+        out_shape += [jax.ShapeDtypeStruct((n_sc, Hb, Wb_n),
+                                           jnp.float32)] * 2
+
+    scratch = [pltpu.VMEM((ch, B, Wb_n), gperm.dtype),
+               pltpu.VMEM((ch, A, Wb_n), jnp.float32)]
+    if has_light:
+        scratch.append(pltpu.VMEM((ch, A, Wb_n), jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_sc, n_rb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    light_mul = 2 if has_light else 1
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_sc, emission=emission, ch=ch,
+                          has_light=has_light, with_ckpt=with_ckpt,
+                          wrap=wrap, n_win=n_win),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=light_mul * (2 * S * Hb * Wr * Wb_n
+                               + 2 * S * A * B * Wb_n
+                               + 10 * S * Hb * Wb_n),
+            bytes_accessed=4 * (S * A * B + S * Hb * Wr + 5 * Hb * Wb_n),
+            transcendentals=S * Hb * Wb_n,
+        ),
+        interpret=interpret,
+    )(slice_z, params, rowoff, *inputs)
+
+
 # ---------------------------------------------------------------------------
 # Backward kernel
 # ---------------------------------------------------------------------------
@@ -1241,6 +1447,29 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
         while ch > 1 and ch * per > 56 * 1024 * 1024:
             ch = math.gcd(ch // 2, S)
             ch = max(ch, 1)
+    # Forward form: "auto" takes the sc-major assoc forward
+    # (_run_fwd_sc; chip A/B: base fwd 3.33 -> 2.55 ms) whenever its
+    # VMEM footprint fits — full-size carries + 2 checkpoint blocks are
+    # fixed, wbg/gw(/lgw) + grid(/light) blocks scale with ch (shrunk
+    # jointly with the backward's ch: the two kernels must agree on the
+    # checkpoint chunking) — else the r4 per-chunk "mm" column stage.
+    fwd_form = _col_stage_fwd()
+    colmm_f = 1 if colmm else 0
+    if fwd_form in ("gather", "0"):
+        colmm_f = 0
+    elif colmm and fwd_form == "big":
+        colmm_f = 2
+    elif colmm and fwd_form in ("auto", "assoc"):
+        Hb_ = plan.v_grid.shape[0]
+        lmul = 1 if lperm is None else 2
+        fixed_f = 6 * Hb_ * Wb_n * 4        # 4 carries + 2 ckpt blocks
+        per_f = 4 * lmul * ((B + A) * Wb_n + A * B)
+        ch_f = ch
+        while ch_f > 1 and fixed_f + ch_f * per_f > 96 * 1024 * 1024:
+            ch_f = max(math.gcd(ch_f // 2, S), 1)
+        if fixed_f + ch_f * per_f <= 96 * 1024 * 1024:
+            colmm_f = 3
+            ch = min(ch, ch_f)
     rw = 0 if "row" in _WIN_DISABLE else getattr(plan, "row_window", 0)
     n_win = 0
     if (rw and rw % GRAN == 0 and rw < A and A % GRAN == 0
@@ -1284,12 +1513,6 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     # its autodiff transpose is another reverse); everything traced goes
     # in as an explicit argument (see _fused_vjp).
     g = gperm[::-1] if flip else gperm
-    fwd_form = _col_stage_fwd()
-    colmm_f = 0
-    if colmm and fwd_form in ("auto", "mm", "1"):
-        colmm_f = 1
-    elif colmm and fwd_form == "big":
-        colmm_f = 2
     f = _fused_vjp(cfg.emission, lperm is not None, n_win, cwin, swin,
                    colmm, colmm_f, sigT, bigW, assoc, ch, rb_blk,
                    interpret, wrap_mode, cfg.dtype)
@@ -1317,6 +1540,12 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
     kdt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     def run_fwd(g, l, slice_z, wa, ug, seg, params, rowoff, with_ckpt):
+        if colmm_f == 3:
+            return _run_fwd_sc(g.astype(kdt),
+                               None if l is None else l.astype(kdt),
+                               slice_z, wa, ug, seg, params, rowoff,
+                               n_win, ch, rb_blk, emission, with_ckpt,
+                               interpret, wrap)
         return _run_fwd(g.astype(kdt),
                         None if l is None else l.astype(kdt),
                         slice_z, wa, ug, seg, params, rowoff, n_win,
