@@ -240,18 +240,15 @@ def main():
     S = plan.slice_z.shape[0]
     A = VOLUME
     A_eff = plan.row_window or A          # row-matmul contraction
-    fwd_col = Wb * (plan.col_window or A)  # fwd column stage work/row
-    # Per (slice, base row) MAC counts, r5 "assoc" kernel forms
-    # (kernels/sweep_pallas.py): fwd row resample (A_eff * A) + fwd
-    # matmul column stage (windowed when the plan has a col window);
-    # bwd re-associated around ONE one-hot (B, Wb) matrix per slice —
-    # per row: sigma = wa @ gw and the v accumulation (A_eff * Wb each),
-    # per SLICE (amortized over Hb rows): the gw build + the final
-    # dG = v @ W^T (A * A * Wb each). Deliberately "wasteful" MXU work
-    # that replaced the VPU lane gathers; useful_mfu stays the honest
-    # efficiency metric.
-    dense = 2.0 * S * Hb * (A_eff * A + fwd_col + 2.0 * A_eff * Wb
-                            + 2.0 * A * A * Wb / Hb)
+    # Per (slice, base row) MAC counts, r5 "assoc" kernel forms — BOTH
+    # directions re-associated around ONE one-hot (B, Wb) matrix per
+    # slice (kernels/sweep_pallas.py): per row, the fwd sigma = wa @ gw
+    # (A_eff * Wb) and the bwd's sigma recompute + v accumulation
+    # (A_eff * Wb each); per SLICE (amortized over Hb rows), the fwd gw
+    # build, the bwd gw build, and the final dG = v @ W^T (A * A * Wb
+    # each). Deliberately "wasteful" MXU work that replaced the VPU
+    # lane gathers; useful_mfu stays the honest efficiency metric.
+    dense = 2.0 * S * Hb * (3.0 * A_eff * Wb + 3.0 * A * A * Wb / Hb)
     useful = 2.0 * (4.0 * S * Hb * A + 4.0 * S * Hb * Wb) \
         + 16.0 * S * Hb * Wb
     mfu = dense / per_frame / peak
