@@ -130,7 +130,11 @@ def animation_plans(cameras, grid_shape, cfg):
                         force_base_dims=(fh, fw))
              for c in cameras]
     band = (max(p.warp_band[0] for p in plans),
-            max(p.warp_band[1] for p in plans))
+            max(p.warp_band[1] for p in plans),
+            0 if any(p.pix_band[0] == 0 for p in plans)
+            else max(p.pix_band[0] for p in plans),
+            0 if any(p.pix_band[1] == 0 for p in plans)
+            else max(p.pix_band[1] for p in plans))
     plans = [with_warp_band(p, band) for p in plans]
     # Unify the fused-kernel row/column windows the same way (a >=
     # window stays exact; one frame that cannot window forces the dense

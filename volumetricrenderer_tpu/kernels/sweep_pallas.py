@@ -480,7 +480,7 @@ def _col_taps(e_b, delta, ug_row, B, wrap=False):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
-                has_light, with_ckpt, wrap, n_win, cwin, colmm):
+                has_light, with_ckpt, with_wck, wrap, n_win, cwin, colmm):
     ts_s = None
     if cwin:
         refs, ts_s = refs[:-1], refs[-1]
@@ -496,7 +496,9 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
     acc_ref, trans_ref, wsum_ref, hit_ref = refs[i:i + 4]; i += 4
     tck_ref = wck_ref = None
     if with_ckpt:
-        tck_ref, wck_ref = refs[i:i + 2]
+        tck_ref = refs[i]; i += 1
+        if with_wck:
+            wck_ref = refs[i]; i += 1
 
     def gmat(rs, c):
         # windowed: concatenate the granule blocks into the (Wr, B) window
@@ -515,8 +517,14 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
 
     if with_ckpt:
         # Chunk-entry checkpoint: the carry BEFORE this chunk's slices.
+        # With no light volume, shade == 1 and the weight sum telescopes
+        # (w_s = T_{s-1} - T_s), so wsum == 1 - T identically and the
+        # backward derives the wsum checkpoint from the T one — the wck
+        # array (n_sc * Hb * Wb f32 per frame, ~300 MB at the flagship)
+        # is neither written nor read.
         tck_ref[0] = trans_ref[:]
-        wck_ref[0] = wsum_ref[:]
+        if with_wck:
+            wck_ref[0] = wsum_ref[:]
 
     e_k, e_b = params_ref[0], params_ref[2]
     sign, density, sscale = params_ref[3], params_ref[4], params_ref[5]
@@ -599,7 +607,7 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
 
 def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
              n_win, cwin, colmm, ch, rb_blk, emission, with_ckpt,
-             interpret=False, wrap=False):
+             interpret=False, wrap=False, with_wck=True):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
     Wr = wa_all.shape[2]  # A (dense) or n_win * GRAN (windowed)
@@ -646,9 +654,10 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
     if with_ckpt:
         ck = pl.BlockSpec((1, rb_blk, Wb_n), lambda rb, sc, *_: (sc, rb, 0),
                           memory_space=pltpu.VMEM)
-        out_specs += [ck, ck]
+        n_ck = 2 if with_wck else 1
+        out_specs += [ck] * n_ck
         out_shape += [jax.ShapeDtypeStruct((n_sc, Hb, Wb_n),
-                                           jnp.float32)] * 2
+                                           jnp.float32)] * n_ck
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -662,8 +671,8 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
     return pl.pallas_call(
         functools.partial(_fwd_kernel, emission=emission, ch=ch,
                           has_light=has_light, with_ckpt=with_ckpt,
-                          wrap=wrap, n_win=n_win, cwin=cwin,
-                          colmm=colmm),
+                          with_wck=with_wck, wrap=wrap, n_win=n_win,
+                          cwin=cwin, colmm=colmm),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -702,7 +711,7 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
 
 
 def _fwd_kernel_sc(slice_z_ref, params_ref, rowoff_ref, *refs, emission,
-                   ch, has_light, with_ckpt, wrap, n_win):
+                   ch, has_light, with_ckpt, with_wck, wrap, n_win):
     i = 0
     g_ref = refs[i]; i += 1
     wa_ref = refs[i]; i += 1
@@ -714,7 +723,9 @@ def _fwd_kernel_sc(slice_z_ref, params_ref, rowoff_ref, *refs, emission,
     acc_ref, trans_ref, wsum_ref, hit_ref = refs[i:i + 4]; i += 4
     tck_ref = wck_ref = None
     if with_ckpt:
-        tck_ref, wck_ref = refs[i:i + 2]; i += 2
+        tck_ref = refs[i]; i += 1
+        if with_wck:
+            wck_ref = refs[i]; i += 1
     wbg_s = refs[i]; i += 1
     gw_s = refs[i]; i += 1
     lgw_s = refs[i] if has_light else None
@@ -738,9 +749,12 @@ def _fwd_kernel_sc(slice_z_ref, params_ref, rowoff_ref, *refs, emission,
     if with_ckpt:
         # Chunk-entry checkpoint: the carry BEFORE this chunk's slices
         # (same shapes/semantics as the rb-major kernel's — the
-        # backward replays from these unchanged).
+        # backward replays from these unchanged). wck skipped when the
+        # no-light telescoping identity holds (see _fwd_kernel).
         tck_ref[0, pl.ds(r0, rb_blk), :] = trans_ref[pl.ds(r0, rb_blk), :]
-        wck_ref[0, pl.ds(r0, rb_blk), :] = wsum_ref[pl.ds(r0, rb_blk), :]
+        if with_wck:
+            wck_ref[0, pl.ds(r0, rb_blk), :] = wsum_ref[pl.ds(r0, rb_blk),
+                                                        :]
 
     e_k, e_b = params_ref[0], params_ref[2]
     sign, density, sscale = params_ref[3], params_ref[4], params_ref[5]
@@ -808,7 +822,7 @@ def _fwd_kernel_sc(slice_z_ref, params_ref, rowoff_ref, *refs, emission,
 
 def _run_fwd_sc(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
                 rowoff, n_win, ch, rb_blk, emission, with_ckpt,
-                interpret=False, wrap=False):
+                interpret=False, wrap=False, with_wck=True):
     """sc-major assoc forward — see _fwd_kernel_sc. Outputs and
     checkpoints are bit-compatible with _run_fwd's (same shapes; the
     backward replays from them unchanged)."""
@@ -848,9 +862,10 @@ def _run_fwd_sc(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
     if with_ckpt:
         ck = pl.BlockSpec((1, Hb, Wb_n), lambda sc, rb, *_: (sc, 0, 0),
                           memory_space=vm)
-        out_specs += [ck, ck]
+        n_ck = 2 if with_wck else 1
+        out_specs += [ck] * n_ck
         out_shape += [jax.ShapeDtypeStruct((n_sc, Hb, Wb_n),
-                                           jnp.float32)] * 2
+                                           jnp.float32)] * n_ck
 
     scratch = [pltpu.VMEM((ch, B, Wb_n), gperm.dtype),
                pltpu.VMEM((ch, A, Wb_n), jnp.float32)]
@@ -868,7 +883,7 @@ def _run_fwd_sc(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
     return pl.pallas_call(
         functools.partial(_fwd_kernel_sc, emission=emission, ch=ch,
                           has_light=has_light, with_ckpt=with_ckpt,
-                          wrap=wrap, n_win=n_win),
+                          with_wck=with_wck, wrap=wrap, n_win=n_win),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -891,7 +906,7 @@ def _run_fwd_sc(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
 
 def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                 has_light, wrap, n_win, cwin, swin, colmm, sigT, bigW,
-                assoc):
+                assoc, no_wck=False):
     wbc_s = ts_s = wbg_s = None
     wbm_s = joff_s = mat_s = None
     gw_s = v_s = lgw_s = vl_s = None
@@ -921,7 +936,8 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
         cw_ref = refs[i]; i += 1
         bct_ref = refs[i]; i += 1
         tck_ref = refs[i]; i += 1
-        wck_ref = refs[i]; i += 1
+        if not no_wck:
+            wck_ref = refs[i]; i += 1
     else:
         ctacc_ref = refs[i]; i += 1
     l_ref = None
@@ -971,7 +987,10 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
 
     if emission:
         T = tck_ref[0]       # carry at chunk entry, replayed within chunk
-        Wr = wck_ref[0]
+        # With no light volume, shade == 1 so the weight sum telescopes
+        # (w_s = T_{s-1} - T_s) and wsum == 1 - T identically — derive
+        # the wsum checkpoint instead of streaming the wck array.
+        Wr = (1.0 - T) if no_wck else wck_ref[0]
         cw = cw_ref[:]
         bct = bct_ref[:]
 
@@ -1273,9 +1292,10 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
                           memory_space=vm)
     ck = pl.BlockSpec((1, rb_blk, Wb_n), lambda sc, rb, *_: (sc, rb, 0),
                       memory_space=vm)
+    no_wck = emission and wck is None
     if emission:
-        in_specs += [map_rb, map_rb, ck, ck]
-        inputs += [cw, bct, tck, wck]
+        in_specs += [map_rb, map_rb, ck] + ([] if no_wck else [ck])
+        inputs += [cw, bct, tck] + ([] if no_wck else [wck])
     else:
         in_specs += [map_rb]
         inputs += [ctacc]
@@ -1330,7 +1350,7 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         functools.partial(_bwd_kernel, emission=emission, ch=ch,
                           has_light=has_light, wrap=wrap, n_win=n_win,
                           cwin=cwin, swin=swin, colmm=colmm, sigT=sigT,
-                          bigW=bigW, assoc=assoc),
+                          bigW=bigW, assoc=assoc, no_wck=no_wck),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -1513,9 +1533,12 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     # its autodiff transpose is another reverse); everything traced goes
     # in as an explicit argument (see _fused_vjp).
     g = gperm[::-1] if flip else gperm
+    # VOLT_FORCE_WCK=1 disables the no-light wsum-checkpoint elision
+    # (A/B tool; read at trace time like the bwd-form knob).
+    force_wck = bool(int(_os.environ.get("VOLT_FORCE_WCK", "0")))
     f = _fused_vjp(cfg.emission, lperm is not None, n_win, cwin, swin,
                    colmm, colmm_f, sigT, bigW, assoc, ch, rb_blk,
-                   interpret, wrap_mode, cfg.dtype)
+                   interpret, wrap_mode, cfg.dtype, force_wck)
     if lperm is None:
         return f(g, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
                  params, rowoff)
@@ -1527,7 +1550,7 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
 @functools.lru_cache(maxsize=None)
 def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
                sigT, bigW, assoc, ch, rb_blk, interpret, wrap,
-               dtype_name):
+               dtype_name, force_wck=False):
     """custom_vjp instance for one static kernel configuration.
 
     EVERY traced array is an explicit argument: a custom_vjp must not
@@ -1539,18 +1562,22 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
     (helps jit tracing too)."""
     kdt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
+    # No light volume -> shade == 1 -> the wsum checkpoint is redundant
+    # (telescoping: wsum == 1 - trans); skip its write AND read.
+    with_wck = has_light or force_wck
+
     def run_fwd(g, l, slice_z, wa, ug, seg, params, rowoff, with_ckpt):
         if colmm_f == 3:
             return _run_fwd_sc(g.astype(kdt),
                                None if l is None else l.astype(kdt),
                                slice_z, wa, ug, seg, params, rowoff,
                                n_win, ch, rb_blk, emission, with_ckpt,
-                               interpret, wrap)
+                               interpret, wrap, with_wck=with_wck)
         return _run_fwd(g.astype(kdt),
                         None if l is None else l.astype(kdt),
                         slice_z, wa, ug, seg, params, rowoff, n_win,
                         cwin, colmm_f, ch, rb_blk, emission, with_ckpt,
-                        interpret, wrap)
+                        interpret, wrap, with_wck=with_wck)
 
     def run_bwd(g, l, ct, trans, wsum, tck, wck, slice_z, wa, ug, seg,
                 params, rowoff):
@@ -1587,7 +1614,8 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
         def f_fwd(g, slice_z, wa, ug, seg, params, rowoff):
             outs = run_fwd(g, None, slice_z, wa, ug, seg, params, rowoff,
                            emission)
-            tck, wck = (outs[4], outs[5]) if emission else (None, None)
+            tck = outs[4] if emission else None
+            wck = outs[5] if emission and with_wck else None
             return tuple(outs[:4]), (g, outs[1], outs[2], tck, wck,
                                      slice_z, wa, ug, seg, params, rowoff)
 
@@ -1687,7 +1715,7 @@ def _col_taps_ref(e_b, delta, ug_row, B, sc, offb):
 
 
 def _fwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
-                    with_ckpt, has_light, colmm):
+                    with_ckpt, with_wck, has_light, colmm):
     i = 0
     l_ref = refs[i]; i += 1          # (ch, NCH, A, B) lerped layers
     wa_ref = refs[i]; i += 1         # (ch, NCH, RB, A)
@@ -1700,7 +1728,9 @@ def _fwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
     acc_ref, trans_ref, wsum_ref, hit_ref = refs[i:i + 4]; i += 4
     tck_ref = wck_ref = None
     if with_ckpt:
-        tck_ref, wck_ref = refs[i:i + 2]
+        tck_ref = refs[i]; i += 1
+        if with_wck:
+            wck_ref = refs[i]; i += 1
 
     sc_i = pl.program_id(1)
 
@@ -1712,8 +1742,11 @@ def _fwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
         hit_ref[:] = jnp.zeros(hit_ref.shape, jnp.float32)
 
     if with_ckpt:
+        # wck skipped when no light volume: shade == 1 telescopes the
+        # weight sum (wsum == 1 - trans; see _fwd_kernel).
         tck_ref[0] = trans_ref[:]
-        wck_ref[0] = wsum_ref[:]
+        if with_wck:
+            wck_ref[0] = wsum_ref[:]
 
     e_k, e_b = params_ref[0], params_ref[2]
     sign, density, sscale = params_ref[3], params_ref[4], params_ref[5]
@@ -1776,7 +1809,8 @@ def _fwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
 
 
 def _run_fwd_ref(lperm4, lvperm, wal_all, slice_z, wa_all, u_grid,
-                 seglen, params, emission, with_ckpt, interpret=False):
+                 seglen, params, emission, with_ckpt, interpret=False,
+                 with_wck=True):
     S, _, A, B = lperm4.shape
     Hb = wa_all.shape[2]
     Wb_n = u_grid.shape[0]
@@ -1812,9 +1846,10 @@ def _run_fwd_ref(lperm4, lvperm, wal_all, slice_z, wa_all, u_grid,
     if with_ckpt:
         ck = pl.BlockSpec((1, RB, Wb_n), lambda rb, sc, *_: (sc, rb, 0),
                           memory_space=pltpu.VMEM)
-        out_specs += [ck, ck]
+        n_ck = 2 if with_wck else 1
+        out_specs += [ck] * n_ck
         out_shape += [jax.ShapeDtypeStruct((n_sc, Hb, Wb_n),
-                                           jnp.float32)] * 2
+                                           jnp.float32)] * n_ck
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1826,8 +1861,8 @@ def _run_fwd_ref(lperm4, lvperm, wal_all, slice_z, wa_all, u_grid,
              and Wb_n % LANES == 0)
     return pl.pallas_call(
         functools.partial(_fwd_kernel_ref, emission=emission, ch=ch,
-                          with_ckpt=with_ckpt, has_light=has_light,
-                          colmm=colmm),
+                          with_ckpt=with_ckpt, with_wck=with_wck,
+                          has_light=has_light, colmm=colmm),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -1844,7 +1879,7 @@ def _run_fwd_ref(lperm4, lvperm, wal_all, slice_z, wa_all, u_grid,
 
 
 def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
-                    has_light, colmm):
+                    has_light, colmm, no_wck=False):
     wbc4_s = None
     if colmm:
         refs, wbc4_s = refs[:-1], refs[-1]
@@ -1857,7 +1892,8 @@ def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
         cw_ref = refs[i]; i += 1
         bct_ref = refs[i]; i += 1
         tck_ref = refs[i]; i += 1
-        wck_ref = refs[i]; i += 1
+        if not no_wck:
+            wck_ref = refs[i]; i += 1
     else:
         ctacc_ref = refs[i]; i += 1
     lv_ref = wal_ref = dlv_ref = None
@@ -1887,7 +1923,8 @@ def _bwd_kernel_ref(slice_z_ref, params_ref, *refs, emission, ch,
 
     if emission:
         T = tck_ref[0]
-        Wr = wck_ref[0]
+        # no light -> shade == 1 -> wsum == 1 - T (see _bwd_kernel)
+        Wr = (1.0 - T) if no_wck else wck_ref[0]
         cw = cw_ref[:]
         bct = bct_ref[:]
 
@@ -2022,9 +2059,10 @@ def _run_bwd_ref(lperm4, lvperm, wal_all, slice_z, wa_all, u_grid,
                           memory_space=vm)
     ck = pl.BlockSpec((1, RB, Wb_n), lambda sc, rb, *_: (sc, rb, 0),
                       memory_space=vm)
+    no_wck = emission and wck is None
     if emission:
-        in_specs += [map_rb, map_rb, ck, ck]
-        inputs += [cw, bct, tck, wck]
+        in_specs += [map_rb, map_rb, ck] + ([] if no_wck else [ck])
+        inputs += [cw, bct, tck] + ([] if no_wck else [wck])
     else:
         in_specs += [map_rb]
         inputs += [ctacc]
@@ -2059,7 +2097,8 @@ def _run_bwd_ref(lperm4, lvperm, wal_all, slice_z, wa_all, u_grid,
     light_mul = 2 if has_light else 1
     out = pl.pallas_call(
         functools.partial(_bwd_kernel_ref, emission=emission, ch=ch,
-                          has_light=has_light, colmm=colmm),
+                          has_light=has_light, colmm=colmm,
+                          no_wck=no_wck),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -2212,9 +2251,12 @@ def _fused_vjp_ref(emission, has_light, interpret):
 
         def f_fwd(L, slice_z, wa, ug, seg, params):
             outs = _run_fwd_ref(L, None, None, slice_z, wa, ug, seg,
-                                params, emission, emission, interpret)
-            tck, wck = (outs[4], outs[5]) if emission else (None, None)
-            return tuple(outs[:4]), (L, outs[1], outs[2], tck, wck,
+                                params, emission, emission, interpret,
+                                with_wck=False)
+            # no light volume: wsum == 1 - trans telescoping (the wck
+            # checkpoint is derived in the backward kernel, not stored)
+            tck = outs[4] if emission else None
+            return tuple(outs[:4]), (L, outs[1], outs[2], tck, None,
                                      slice_z, wa, ug, seg, params)
 
         def f_bwd(res, ct):

@@ -155,6 +155,9 @@ class SweepPlan:
     warp_tile_lo: jnp.ndarray  # (n_base_tiles, 3) [pixel-rect row, col,
                                #  active] per base tile (warp windows,
                                #  jnp splat + Pallas warp kernels)
+    warp_ptile_lo: jnp.ndarray  # (n_pixel_tiles, 3) [base-window row, col,
+                                #  active] per pixel tile (the transposed
+                                #  rect table: pixel-major forward warp)
     box_range: jnp.ndarray   # (3,) world box extent, (k, a, b) order
     box_min: jnp.ndarray     # (3,) world box min, (k, a, b) order
 
@@ -180,6 +183,12 @@ class SweepPlan:
         default=0, metadata=dict(static=True))  # backward column-scatter
     # window (base cols per 128-col grid tile, 128-rounded) — 0 keeps the
     # dense (Wb x B) scatter matmul.
+    pix_band: Tuple[int, int] = dataclasses.field(
+        default=(0, 0), metadata=dict(static=True))  # base-texel window
+    # (rows, cols) per PIXEL tile — the transposed warp band. (0, 0)
+    # disables the pixel-major forward warp (base-major RMW fallback).
+    pix_blk: Tuple[int, int] = dataclasses.field(
+        default=(64, 128), metadata=dict(static=True))  # pixel tile dims
 
     @property
     def base_shape(self):
@@ -435,25 +444,46 @@ def plan_signature(plan: SweepPlan):
     return (plan.axis, plan.sign, plan.perm, plan.base_shape,
             plan.slice_z.shape[0], plan.warp_band, plan.warp_blk,
             plan.identity_warp, plan.row_window, plan.col_window,
-            plan.scatter_window)
+            plan.scatter_window, plan.pix_band, plan.pix_blk)
 
 
-def with_warp_band(plan: SweepPlan, band: Tuple[int, int]) -> SweepPlan:
+def with_warp_band(plan: SweepPlan, band) -> SweepPlan:
     """Replace the warp band with a caller-unified (>=) one, re-clamping
     the per-tile pixel-rect origins so the larger window stays in-image.
     Exact for any band >= the plan's own: the rect is a cover of the
     pixels whose bilinear splat touches the tile — pixels gathered by a
-    larger cover splat zero weight to this tile."""
+    larger cover splat zero weight to this tile.
+
+    band may be a 4-tuple (rect rows, rect cols, base-window rows,
+    base-window cols): the last two unify the pixel-major forward warp's
+    transposed band (same cover argument, over base texels). A 2-tuple
+    leaves pix_band unchanged."""
     H, W = plan.warp_rows01.shape
+    Hb, Wb = plan.base_shape
     band_r, band_c = int(band[0]), int(band[1])
-    if (band_r, band_c) == plan.warp_band:
+    pix = (plan.pix_band if len(band) < 4
+           else (int(band[2]), int(band[3])))
+    if plan.pix_band == (0, 0):
+        pix = (0, 0)  # disabled at plan time: the table was never clamped
+    if (band_r, band_c) == plan.warp_band and pix == plan.pix_band:
         return plan
     assert band_r >= plan.warp_band[0] and band_c >= plan.warp_band[1]
     tile_lo = jnp.minimum(
         plan.warp_tile_lo,
         jnp.asarray([max(H - band_r, 0), max(W - band_c, 0), 1], jnp.int32))
+    ptile_lo = plan.warp_ptile_lo
+    if pix != plan.pix_band and pix != (0, 0):
+        # (0, 0) DISABLES the pixel-major forward (table goes unused);
+        # any other replacement must be a >= cover, re-clamped in-bounds.
+        assert pix[0] >= plan.pix_band[0] and pix[1] >= plan.pix_band[1]
+        ptile_lo = jnp.maximum(
+            jnp.minimum(plan.warp_ptile_lo,
+                        jnp.asarray([max(Hb - pix[0], 0),
+                                     max(Wb - pix[1], 0), 1], jnp.int32)),
+            0)
     return dataclasses.replace(plan, warp_band=(band_r, band_c),
-                               warp_tile_lo=jnp.maximum(tile_lo, 0))
+                               warp_tile_lo=jnp.maximum(tile_lo, 0),
+                               pix_band=pix, warp_ptile_lo=ptile_lo)
 
 
 def plan_sweep(
@@ -515,7 +545,17 @@ def plan_sweep(
             raise ValueError("trust_band requires min_warp_band")
         band_r = min(int(min_warp_band[0]), camera.height)
         band_c = min(int(min_warp_band[1]), camera.width)
-        clamp_band = (band_r, band_c)
+        if len(min_warp_band) >= 4:
+            # 4-tuple band: (pixel-rect rows, cols, base-window rows,
+            # cols) — the last two trust the pixel-major fwd warp's
+            # transposed band too. A legacy 2-tuple disables it
+            # (pix_band stays (0, 0) -> base-major fwd).
+            pwr = min(int(min_warp_band[2]), Hb)
+            pwc = min(int(min_warp_band[3]), Wb)
+            clamp_band = (band_r, band_c, pwr, pwc)
+        else:
+            pwr = pwc = 0
+            clamp_band = (band_r, band_c)
     else:
         clamp_band = None
     packed = np.concatenate([
@@ -533,22 +573,29 @@ def plan_sweep(
         np.asarray(u_grid, np.float32),
         np.ascontiguousarray(slice_z).astype(np.float32),
     ])
+    ptile = _pick_pixel_tile()
     (eye01_d, box_min_d, rng_perm_d, v_grid_d, u_grid_d, slice_z_d,
-     seglen, warp_rows01, warp_cols01, tile_lo, band) = _device_plan(
+     seglen, warp_rows01, warp_cols01, tile_lo, ptile_lo,
+     band) = _device_plan(
         jnp.asarray(packed),
         width=camera.width, height=camera.height,
         aspect=float(camera.aspect), c_k=c_k, c_a=c_a, c_b=c_b,
         n_slices=S, tile=warp_tile, hb=Hb, wb=Wb,
         clamp_band=clamp_band,
         pb=int(_os.environ.get("VOLT_WARP_PB", 2)),
+        ptile=ptile,
     )
     if not trust_band:
         band_np = np.asarray(band)  # the one synchronous round trip
         band_r, band_c = int(band_np[0]), int(band_np[1])
+        pwr, pwc = int(band_np[4]), int(band_np[5])
         if min_warp_band is not None:
             band_r = min(max(band_r, int(min_warp_band[0])),
                          camera.height)
             band_c = min(max(band_c, int(min_warp_band[1])), camera.width)
+            if len(min_warp_band) >= 4:
+                pwr = min(max(pwr, int(min_warp_band[2])), Hb)
+                pwc = min(max(pwc, int(min_warp_band[3])), Wb)
         if int(band_np[2]) > 3 or int(band_np[3]) > 3:
             raise ValueError(
                 "sweep unsupported: an 8px pixel block spans >3 base "
@@ -556,6 +603,8 @@ def plan_sweep(
                 "supersample")
         tile_lo = _clamp_tile_lo(tile_lo, max(camera.height - band_r, 0),
                                  max(camera.width - band_c, 0))
+        ptile_lo = _clamp_tile_lo(ptile_lo, max(Hb - pwr, 0),
+                                  max(Wb - pwc, 0))
 
     # Fused-kernel row/column windows (see kernels/sweep_pallas.py):
     # valid for clamp/mirror only (wrap can wrap an edge tap across the
@@ -592,6 +641,7 @@ def plan_sweep(
         warp_rows01=warp_rows01,
         warp_cols01=warp_cols01,
         warp_tile_lo=tile_lo,
+        warp_ptile_lo=ptile_lo,
         box_range=rng_perm_d,
         box_min=box_min_d,
         axis=axis,
@@ -604,6 +654,8 @@ def plan_sweep(
         row_window=int(row_window),
         col_window=int(col_window),
         scatter_window=int(scatter_window),
+        pix_band=(int(pwr), int(pwc)),
+        pix_blk=ptile,
     )
 
 
@@ -627,6 +679,16 @@ _WARP_TILE_ENV = _os.environ.get("VOLT_WARP_TILE", "")
 # u4 4.73/7.11, u8 4.66/6.96, T192+u4 4.62/7.93 (bwd regresses) —
 # 8 wins both directions at T=96.
 _WARP_UNROLL = int(_os.environ.get("VOLT_WARP_UNROLL", 8))
+# Independent fwd-warp image accumulators (see _warp_windowed_fwd).
+# Chip A/B (r5, interleaved flagship warp-only, fwd / fwd+bwd ms):
+# G=1 3.00/5.11, G=2 3.42/5.66, G=4 3.41/5.53, G=8 3.42/5.64 — and the
+# same with unroll held at 8 (G2 3.42, G4 3.41 vs G1 3.02). Splitting
+# the rect-RMW chain across independent carries LOSES ~0.4 ms: XLA
+# appears to stop in-place-aliasing the multi-carry DUS chain. Default
+# stays 1; knob kept for re-measure on other hardware.
+_WARP_LANES = int(_os.environ.get("VOLT_WARP_LANES", 1))
+_WARP_DIV_UNROLL = bool(int(_os.environ.get("VOLT_WARP_DIV_UNROLL", "1")))
+_TAP_TENT = bool(int(_os.environ.get("VOLT_TAP_TENT", "1")))
 # The VOLT_WARP_DTYPE=bf16 knob was REMOVED in round 5 after its chip
 # A/B measured exactly 1.00x (interleaved flagship frames, f32 vs bf16
 # warp operands: fwd 6.87 vs 6.95 ms, fwd+bwd 15.00 vs 14.98 —
@@ -644,12 +706,26 @@ def _pick_warp_tile(Hb: int, Wb: int) -> int:
     return 64
 
 
+def _pick_pixel_tile() -> Tuple[int, int]:
+    """Pixel-tile dims for the pixel-major forward warp. (64, 128) keeps
+    the per-tile matmul at the base-major form's issued-flop level at the
+    flagship base/pixel density (~1.4 texels/px rows, ~0.8 cols) while
+    the disjoint outputs drop the image RMW. VOLT_WARP_PTILE="r,c"
+    overrides for A/Bs."""
+    v = _os.environ.get("VOLT_WARP_PTILE", "")
+    if v:
+        r, c = v.split(",")
+        return (int(r), int(c))
+    return (64, 128)
+
+
 @partial(jax.jit,
          static_argnames=("width", "height", "aspect", "c_k", "c_a", "c_b",
                           "n_slices", "tile", "hb", "wb", "clamp_band",
-                          "pb"))
+                          "pb", "ptile"))
 def _device_plan(packed, *, width, height, aspect, c_k, c_a, c_b,
-                 n_slices, tile, hb, wb, clamp_band=None, pb=4):
+                 n_slices, tile, hb, wb, clamp_band=None, pb=4,
+                 ptile=(64, 128)):
     """Device-side plan arrays from ONE packed f32 upload: seglen map,
     pixel->base warp coords (atan space), per-pixel-tile base windows for
     the warp adjoint, and the pass-through plan vectors (so a plan build
@@ -772,15 +848,53 @@ def _device_plan(packed, *, width, height, aspect, c_k, c_a, c_b,
                          nonempty.astype(jnp.int32).ravel()], axis=-1)
     span_r = jnp.max(jnp.where(bvalid, tr1 - tr0 + 1, 1))
     span_c = jnp.max(jnp.where(bvalid, tc1 - tc0 + 1, 1))
+
+    # Transposed rect table for the pixel-major forward warp: for each
+    # (ptr x ptc) PIXEL tile, the bounding BASE-texel window of its valid
+    # pixels' bilinear taps. Pixel tiles are disjoint outputs, so the
+    # forward can stack + reshape instead of read-modify-writing the
+    # image (trace-measured: the base-major fwd scan spent ~1.2 ms/frame
+    # in dynamic_update_slice RMW the bwd splat doesn't have). Exact for
+    # the same reason tile_lo is: r0/r1/c0/c1 here are the SAME device
+    # f32 tap indices _tap_weights recomputes, bit for bit.
+    ptr, ptc = ptile
+    npr, npc = -(-height // ptr), -(-width // ptc)
+    ppr_pad, ppc_pad = npr * ptr - height, npc * ptc - width
+
+    def tile_reduce(x, fill, op):
+        xp = jnp.pad(jnp.where(valid, x, fill),
+                     ((0, ppr_pad), (0, ppc_pad)), constant_values=fill)
+        xb = xp.reshape(npr, ptr, npc, ptc)
+        return op(op(xb, axis=3), axis=1)  # (npr, npc)
+
+    wrmin = tile_reduce(r0, big, jnp.min)
+    wrmax = tile_reduce(r1, -1, jnp.max)
+    wcmin = tile_reduce(c0, big, jnp.min)
+    wcmax = tile_reduce(c1, -1, jnp.max)
+    wactive = wrmax >= 0
+    pwin_r = jnp.clip(jnp.max(jnp.where(wactive, wrmax - wrmin + 1, 1)),
+                      1, hb)
+    pwin_c = jnp.clip(jnp.max(jnp.where(wactive, wcmax - wcmin + 1, 1)),
+                      1, wb)
+    ptile_lo = jnp.stack([jnp.where(wactive, wrmin, 0).ravel(),
+                          jnp.where(wactive, wcmin, 0).ravel(),
+                          wactive.astype(jnp.int32).ravel()], axis=-1)
+
     if clamp_band is not None:
         tile_lo = jnp.maximum(
             jnp.minimum(tile_lo,
                         jnp.asarray([max(height - clamp_band[0], 0),
                                      max(width - clamp_band[1], 0), 1],
                                     jnp.int32)), 0)
+        if len(clamp_band) >= 4:
+            ptile_lo = jnp.maximum(
+                jnp.minimum(ptile_lo,
+                            jnp.asarray([max(hb - clamp_band[2], 0),
+                                         max(wb - clamp_band[3], 0), 1],
+                                        jnp.int32)), 0)
     return (eye01, box_min, rng_perm, v_grid, u_grid, slice_z,
-            seglen, rows01, cols01, tile_lo,
-            jnp.stack([band_r, band_c, span_r, span_c]))
+            seglen, rows01, cols01, tile_lo, ptile_lo,
+            jnp.stack([band_r, band_c, span_r, span_c, pwin_r, pwin_c]))
 
 
 def base_rays(plan: SweepPlan):
@@ -818,15 +932,27 @@ def base_rays(plan: SweepPlan):
 def _tap_weights(q01, n, off, tile):
     """Two-banded tap weights local to a base tile: W[p, j] is the
     bilinear weight of tap (off + j) for flattened rect pixel p (zero when
-    the tap falls outside this tile — the per-tile ownership test)."""
-    p = q01 * n - 0.5
-    i0f = jnp.floor(p)
-    f = (p - i0f).astype(jnp.float32)
-    i0 = jnp.clip(i0f.astype(jnp.int32), 0, n - 1) - off
-    i1 = jnp.clip(i0f.astype(jnp.int32) + 1, 0, n - 1) - off
-    iota = jnp.arange(tile, dtype=jnp.int32)[None, :]
-    return (jnp.where(iota == i0[:, None], (1.0 - f)[:, None], 0.0)
-            + jnp.where(iota == i1[:, None], f[:, None], 0.0))
+    the tap falls outside this tile — the per-tile ownership test).
+
+    Built as the TENT function  relu(1 - |j - (clip(p) - off)|)  rather
+    than two iota-equality one-hots: equal for clamp semantics at every
+    point (interior: 1-f / f at floor(p) / floor(p)+1; out-of-range p
+    clips to the edge texel with weight 1, exactly the clipped-two-tap
+    sum; window-boundary taps drop the same out-of-window term), with
+    one |.|-compare instead of two compare+select pairs per entry.
+    VOLT_TAP_TENT=0 restores the one-hot build for A/Bs."""
+    if not _TAP_TENT:
+        p = q01 * n - 0.5
+        i0f = jnp.floor(p)
+        f = (p - i0f).astype(jnp.float32)
+        i0 = jnp.clip(i0f.astype(jnp.int32), 0, n - 1) - off
+        i1 = jnp.clip(i0f.astype(jnp.int32) + 1, 0, n - 1) - off
+        iota = jnp.arange(tile, dtype=jnp.int32)[None, :]
+        return (jnp.where(iota == i0[:, None], (1.0 - f)[:, None], 0.0)
+                + jnp.where(iota == i1[:, None], f[:, None], 0.0))
+    p = jnp.clip(q01 * n - 0.5, 0.0, float(n - 1))[:, None] - off
+    iota = jnp.arange(tile, dtype=jnp.float32)[None, :]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(iota - p))
 
 
 def _warp_windowed_fwd(base, rows01, cols01, tile_lo, band, tile):
@@ -836,18 +962,32 @@ def _warp_windowed_fwd(base, rows01, cols01, tile_lo, band, tile):
     plan-computed pixel rect, accumulated with dynamic_update_slice.
     Measured on v5e at 1080p/1536^2: ~5 ms/frame vs 69 ms for XLA's
     scalar-gather lowering and 58 ms for a per-tile Pallas kernel —
-    XLA pipelines the scan of big matmuls better than either."""
+    XLA pipelines the scan of big matmuls better than either.
+
+    Round 5: the rect accumulation stripes tiles across _WARP_LANES
+    independent image accumulators (summed once at the end). A single
+    carry makes every dynamic_update_slice wait on the previous one —
+    the device trace showed 256 sequential ~2.4 us RMWs (~20x their
+    bandwidth cost) plus a 1.2 ms/frame scheduling gap the splat (whose
+    outputs are disjoint) does not have; independent chains pipeline."""
     band_r, band_c = band
     H, W = rows01.shape
     Hb, Wb, C = base.shape
     nty, ntx = Hb // tile, Wb // tile
     n_tiles = nty * ntx
+    G = max(1, min(_WARP_LANES, n_tiles))
+    pad_t = (-n_tiles) % G
     t_idx = jnp.arange(n_tiles, dtype=jnp.int32)
     tro = (t_idx // ntx) * tile
     tco = (t_idx % ntx) * tile
+    if pad_t:
+        # inactive padding entries: lo = (0, 0, active=0) gates them off
+        tile_lo = jnp.concatenate(
+            [tile_lo, jnp.zeros((pad_t, 3), tile_lo.dtype)], axis=0)
+        tro = jnp.concatenate([tro, jnp.zeros((pad_t,), tro.dtype)])
+        tco = jnp.concatenate([tco, jnp.zeros((pad_t,), tco.dtype)])
 
-    def body(img, xs):
-        lo, ro, co = xs
+    def contrib_of(lo, ro, co):
         rr = jax.lax.dynamic_slice(
             rows01, (lo[0], lo[1]), (band_r, band_c)).reshape(-1)
         cc = jax.lax.dynamic_slice(
@@ -863,44 +1003,134 @@ def _warp_windowed_fwd(base, rows01, cols01, tile_lo, band, tile):
         # Inactive tiles (no valid pixel taps them) are gated off: their
         # rect defaults to (0, 0) and clamped out-of-footprint taps must
         # not leak into it (matches the Pallas kernels' tab gate).
-        contrib = (contrib * lo[2].astype(jnp.float32)
-                   ).reshape(band_r, band_c, C)
-        win = jax.lax.dynamic_slice(img, (lo[0], lo[1], 0),
-                                    (band_r, band_c, C))
-        return jax.lax.dynamic_update_slice(img, win + contrib,
-                                            (lo[0], lo[1], 0)), None
+        return (contrib * lo[2].astype(jnp.float32)
+                ).reshape(band_r, band_c, C)
 
-    img0 = jnp.zeros((H, W, C), jnp.float32)
+    def body(imgs, xs):
+        lo, ro, co = xs
+        out = []
+        for g in range(G):
+            contrib = contrib_of(lo[g], ro[g], co[g])
+            win = jax.lax.dynamic_slice(imgs[g], (lo[g][0], lo[g][1], 0),
+                                        (band_r, band_c, C))
+            out.append(jax.lax.dynamic_update_slice(
+                imgs[g], win + contrib, (lo[g][0], lo[g][1], 0)))
+        return tuple(out), None
+
+    imgs0 = tuple(jnp.zeros((H, W, C), jnp.float32) for _ in range(G))
+    n_it = (n_tiles + pad_t) // G
+    xs = (tile_lo.reshape(n_it, G, 3), tro.reshape(n_it, G),
+          tco.reshape(n_it, G))
     # unroll: the per-iteration work is small (P x T matmuls); at ~576
     # tiles the scan is iteration-latency-bound without it.
-    img, _ = jax.lax.scan(body, img0, (tile_lo, tro, tco),
-                          unroll=_WARP_UNROLL)
+    imgs, _ = jax.lax.scan(body, imgs0, xs,
+                           unroll=max(1, _WARP_UNROLL // G)
+                           if _WARP_DIV_UNROLL else _WARP_UNROLL)
+    img = imgs[0]
+    for g in range(1, G):
+        img = img + imgs[g]
     return img
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _warp_bilinear(base, rows01, cols01, tile_lo, band, tile):
+def _warp_pixmajor_fwd(base, rows01, cols01, ptile_lo, pix_band, pix_blk):
+    """Forward warp as a scan over disjoint PIXEL tiles (round 5): each
+    (ptr x ptc) pixel tile gathers its plan-computed base-texel window
+    (warp_ptile_lo — the transpose of tile_lo's rects) and contracts the
+    same bilinear tap weights against it; outputs stack + reshape into
+    the image. Device-trace motivation: the base-major forward spent
+    ~1.2 ms/frame (flagship) read-modify-writing overlapping image rects
+    through dynamic_update_slice — the one structural cost its transpose
+    (the bwd splat, disjoint base tiles) never had. Same tap math
+    (_tap_weights on the same rows01/cols01 values), so results match
+    the base-major form up to f32 summation order at every in-footprint
+    pixel; out-of-footprint pixels differ only where the miss mask
+    overwrites anyway."""
+    pwr, pwc = pix_band
+    ptr, ptc = pix_blk
+    H, W = rows01.shape
+    Hb, Wb, C = base.shape
+    npr, npc = -(-H // ptr), -(-W // ptc)
+    pad_r, pad_c = npr * ptr - H, npc * ptc - W
+    # Padded pixels get an out-of-range coord: their taps clip to texel
+    # 0 / n-1 whose window-relative index may still match — the values
+    # land in the cropped margin, so correctness is unaffected.
+    rp = jnp.pad(rows01, ((0, pad_r), (0, pad_c)), constant_values=-10.0)
+    cp = jnp.pad(cols01, ((0, pad_r), (0, pad_c)), constant_values=-10.0)
+    rp = rp.reshape(npr, ptr, npc, ptc).transpose(0, 2, 1, 3).reshape(
+        npr * npc, ptr * ptc)
+    cp = cp.reshape(npr, ptr, npc, ptc).transpose(0, 2, 1, 3).reshape(
+        npr * npc, ptr * ptc)
+
+    def body(carry, xs):
+        lo, rr, cc = xs
+        win = jax.lax.dynamic_slice(base, (lo[0], lo[1], 0), (pwr, pwc, C))
+        R = _tap_weights(rr, Hb, lo[0], pwr)
+        Cm = _tap_weights(cc, Wb, lo[1], pwc)
+        mid = jnp.einsum("pa,abc->pbc", R, win,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("pbc,pb->pc", mid, Cm,
+                         preferred_element_type=jnp.float32)
+        return carry, out * lo[2].astype(jnp.float32)
+
+    _, tiles = jax.lax.scan(body, (), (ptile_lo, rp, cp),
+                            unroll=_WARP_UNROLL)
+    img = tiles.reshape(npr, npc, ptr, ptc, C).transpose(0, 2, 1, 3, 4)
+    return img.reshape(npr * ptr, npc * ptc, C)[:H, :W]
+
+
+def _use_pixmajor(C, H, W, n_base_tiles, band, tile, pix_band, pix_blk):
+    """Static chooser between the two forward-warp forms, by their MXU
+    issued-flop estimate with f32 lane/K padding to 128 (the dominant
+    cost either way; the pixel-major form additionally saves the image
+    RMW, so it wins ties). VOLT_WARP_FWD forces pix/base for A/Bs."""
+    mode = _os.environ.get("VOLT_WARP_FWD", "auto")
+    if mode == "base" or pix_band == (0, 0):
+        return False
+    if mode == "pix":
+        return True
+
+    def pad128(x):
+        return -(-x // 128) * 128
+
+    est_base = (n_base_tiles * band[0] * band[1]
+                * pad128(tile) * pad128(tile * C))
+    n_ptiles = (-(-H // pix_blk[0])) * (-(-W // pix_blk[1]))
+    est_pix = (n_ptiles * pix_blk[0] * pix_blk[1]
+               * pad128(pix_band[0]) * pad128(pix_band[1] * C))
+    return est_pix <= 1.25 * est_base
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _warp_bilinear(base, rows01, cols01, tile_lo, ptile_lo, band, tile,
+                   pix_band, pix_blk):
     """Bilinear warp base (Hb, Wb, C) -> (H, W, C) at per-pixel coords.
 
-    Both directions run as scans of per-base-tile windowed matmuls over
-    the plan's pixel rects (for every `tile` x `tile` base tile, the
-    bounding pixel rectangle of pixels having a bilinear tap inside it;
-    bounds precomputed in the plan, compact regardless of camera roll):
-    forward accumulates  R_tile @ tile @ C_tile-mask  into the image,
-    backward splats  Rtile^T @ diag(ct) @ Ctile  into disjoint tiles.
-    Exact transposes of each other, so gradients are exact. Out-of-
-    footprint pixels get 0 — warp_base_to_pixels' miss mask assigns their
-    value, and the backward contract requires ct == 0 there.
+    Forward: pixel-major scan over disjoint pixel tiles gathering base
+    windows (_warp_pixmajor_fwd) when the plan carries a usable pix_band,
+    else the base-major rect scan (_warp_windowed_fwd). Backward: splats
+    Rtile^T @ diag(ct) @ Ctile into disjoint base tiles. Both directions
+    compute the same linear bilinear-tap operator (same _tap_weights on
+    the same coords), so the vjp is exact regardless of which forward
+    form ran. Out-of-footprint pixels get 0/garbage — warp_base_to_pixels'
+    miss mask assigns their value, and the backward contract requires
+    ct == 0 there.
 
     (A hand-written Pallas tile-kernel warp was A/B'd in round 3 and lost
     by ~8x — 58 vs 7 ms fwd at 1080p, PROFILE_r3.json warp_ab — and was
     removed in round 4; XLA pipelines this scan of windowed matmuls
     better than the hand-scheduled kernel did.)"""
+    H, W = rows01.shape
+    if _use_pixmajor(base.shape[-1], H, W, tile_lo.shape[0], band, tile,
+                     pix_band, pix_blk):
+        return _warp_pixmajor_fwd(base, rows01, cols01, ptile_lo,
+                                  pix_band, pix_blk)
     return _warp_windowed_fwd(base, rows01, cols01, tile_lo, band, tile)
 
 
-def _warp_bilinear_fwd(base, rows01, cols01, tile_lo, band, tile):
-    out = _warp_bilinear(base, rows01, cols01, tile_lo, band, tile)
+def _warp_bilinear_fwd(base, rows01, cols01, tile_lo, ptile_lo, band,
+                       tile, pix_band, pix_blk):
+    out = _warp_bilinear(base, rows01, cols01, tile_lo, ptile_lo, band,
+                         tile, pix_band, pix_blk)
     return out, (base.shape, rows01, cols01, tile_lo)
 
 
@@ -939,11 +1169,14 @@ def _splat_windowed(ct, rows01, cols01, tile_lo, band, tile, Hb, Wb):
     return jnp.moveaxis(out, 1, 2).reshape(Hb, Wb, C)
 
 
-def _warp_bilinear_bwd(band, tile, res, ct):
+def _warp_bilinear_bwd(band, tile, pix_band, pix_blk, res, ct):
     (Hb, Wb, C), rows01, cols01, tile_lo = res
     out = _splat_windowed(ct, rows01, cols01, tile_lo, band, tile, Hb, Wb)
+    n_pt = ((-(-rows01.shape[0] // pix_blk[0]))
+            * (-(-rows01.shape[1] // pix_blk[1])))
     return (out, jnp.zeros_like(rows01), jnp.zeros_like(cols01),
-            np.zeros(tile_lo.shape, dtype=jax.dtypes.float0))
+            np.zeros(tile_lo.shape, dtype=jax.dtypes.float0),
+            np.zeros((n_pt, 3), dtype=jax.dtypes.float0))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -997,7 +1230,9 @@ def warp_base_to_pixels(base_img, plan: SweepPlan, miss=None,
             "their A/B by ~8x (58 vs 7 ms fwd at 1080p, PROFILE_r3.json "
             "warp_ab); the XLA windowed-matmul path is the only warp")
     out = _warp_bilinear(base_img, plan.warp_rows01, plan.warp_cols01,
-                         plan.warp_tile_lo, plan.warp_band, plan.warp_blk)
+                         plan.warp_tile_lo, plan.warp_ptile_lo,
+                         plan.warp_band, plan.warp_blk, plan.pix_band,
+                         plan.pix_blk)
     if miss is not None:
         inr = (_in01(plan.warp_rows01) & _in01(plan.warp_cols01))[..., None]
         out = jnp.where(inr, out, jnp.asarray(miss, out.dtype))

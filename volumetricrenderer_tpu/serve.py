@@ -149,7 +149,7 @@ class InteractiveRenderer:
         self.force_dims = (fh, fw)
         # Unify band/row-window by building the probe plans at the forced
         # dims (plan arrays are cheap; executables are what matter).
-        band = (1, 1)
+        band = (1, 1, 1, 1)
         rw = cw = sw = None
         for az, el, d in itertools.product(azs, els, dists):
             try:
@@ -157,7 +157,11 @@ class InteractiveRenderer:
             except ValueError:
                 continue
             band = (max(band[0], p.warp_band[0]),
-                    max(band[1], p.warp_band[1]))
+                    max(band[1], p.warp_band[1]),
+                    0 if 0 in (band[2], p.pix_band[0])
+                    else max(band[2], p.pix_band[0]),
+                    0 if 0 in (band[3], p.pix_band[1])
+                    else max(band[3], p.pix_band[1]))
             rw = p.row_window if rw is None else (
                 0 if 0 in (rw, p.row_window) else max(rw, p.row_window))
             cw = p.col_window if cw is None else (
@@ -174,7 +178,9 @@ class InteractiveRenderer:
         def pad16(x, lim):
             return min(-(-int(x * 1.25) // 16) * 16, lim)
 
-        self.band = (pad16(band[0], cc.height), pad16(band[1], cc.width))
+        self.band = (pad16(band[0], cc.height), pad16(band[1], cc.width),
+                     pad16(band[2], self.force_dims[0]) if band[2] else 0,
+                     pad16(band[3], self.force_dims[1]) if band[3] else 0)
         self.row_window = rw or 0
         self.col_window = cw or 0
         self.scatter_window = sw or 0
@@ -216,13 +222,23 @@ class InteractiveRenderer:
                 # grow the family band if it was undersized.
                 probe = self._plan_at(az, el, d, band=None,
                                       rw=self.row_window)
-                need = probe.warp_band
-                if (need[0] > self.band[0] or need[1] > self.band[1]):
+                need = probe.warp_band + probe.pix_band
+                if (need[0] > self.band[0] or need[1] > self.band[1]
+                        or (self.band[2] and need[2] > self.band[2])
+                        or (self.band[3] and need[3] > self.band[3])):
                     cc = self.preset.camera
-                    grown = (min(-(-max(need[0], self.band[0]) // 16) * 16,
-                                 cc.height),
-                             min(-(-max(need[1], self.band[1]) // 16) * 16,
-                                 cc.width))
+
+                    def g16(n, cur, lim):
+                        return min(-(-max(n, cur) // 16) * 16, lim)
+
+                    grown = (g16(need[0], self.band[0], cc.height),
+                             g16(need[1], self.band[1], cc.width),
+                             g16(need[2], self.band[2],
+                                 self.force_dims[0]) if self.band[2]
+                             else 0,
+                             g16(need[3], self.band[3],
+                                 self.force_dims[1]) if self.band[3]
+                             else 0)
                     self.log.warning(
                         "serve: family warp band %s undersized for state "
                         "(az=%.3f el=%.3f d=%.3f, needs %s); growing to "
