@@ -75,34 +75,60 @@ def main():
 
 
 def analyze(d):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    """Aggregate the device 'XLA Ops' line of the Chrome-format trace:
+    total per op kind, split into the warp scans (the while ops) and
+    everything else. (The xplane.pb needs TF profiler protos that this
+    image's TF build doesn't ship; the trace.json.gz carries the same
+    device line.)"""
+    import collections
+    import gzip
+    import json
+    import re
     paths = sorted(glob.glob(
-        os.path.join(d, "plugins/profile/*/*.xplane.pb")))
+        os.path.join(d, "plugins/profile/*/*.trace.json.gz")))
     if not paths:
-        print("no xplane.pb found under", d)
+        print("no trace.json.gz found under", d)
         return
-    sp = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        sp.ParseFromString(f.read())
-    for plane in sp.planes:
-        if "TPU" not in plane.name and "device" not in plane.name.lower():
-            continue
-        md = plane.event_metadata
-        agg = {}
-        for line in plane.lines:
-            for ev in line.events:
-                name = md[ev.metadata_id].name
-                dur = ev.duration_ps / 1e9  # ms
-                a = agg.setdefault(name, [0.0, 0])
-                a[0] += dur
-                a[1] += 1
-        if not agg:
-            continue
-        tot = sum(v[0] for v in agg.values())
-        print(f"\n=== plane {plane.name}: {len(agg)} op kinds, "
-              f"sum {tot:.1f} ms (lines may overlap) ===")
-        for name, (ms, n) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:40]:
-            print(f"{ms/K:9.3f} ms/frame  x{n:6d}  {name[:110]}")
+    data = json.load(gzip.open(paths[-1]))
+    evs = data["traceEvents"] if isinstance(data, dict) else data
+    tids = {}
+    for e in evs:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    ops = [e for e in evs if e.get("ph") == "X"
+           and tids.get((e.get("pid"), e.get("tid"))) == "XLA Ops"]
+    if not ops:
+        print("no XLA Ops line in trace")
+        return
+    whiles = sorted([e for e in ops if e["name"].startswith("while")],
+                    key=lambda e: -e["dur"])
+    # largest while = the frames scan; the rest = warp fwd/bwd scans
+    warp_wins = [(w["ts"], w["ts"] + w["dur"]) for w in whiles[1:]]
+    for w in whiles[1:]:
+        pass
+    print(f"\nwhile durations ms (largest = frame scan): "
+          f"{[round(w['dur']/1e3, 2) for w in whiles[:17]]}")
+
+    def root(n):
+        return re.sub(r"\.\d+$", "", n)
+
+    for label, pred in (
+            ("warp scans", lambda e: any(a <= e["ts"] < b
+                                         for a, b in warp_wins)),
+            ("outside warp", lambda e: not any(a <= e["ts"] < b
+                                               for a, b in warp_wins))):
+        agg = collections.Counter()
+        cnt = collections.Counter()
+        for e in ops:
+            if e["name"].startswith("while"):
+                continue
+            if pred(e):
+                agg[root(e["name"])] += e["dur"] / 1000.0
+                cnt[root(e["name"])] += 1
+        tot = sum(agg.values())
+        print(f"\n--- {label}: flat {tot/K:.2f} ms/frame ---")
+        for n, ms in agg.most_common(20):
+            print(f"{ms/K:9.3f} ms/frame  x{cnt[n]:6d}  {n[:100]}")
 
 
 if __name__ == "__main__":

@@ -225,13 +225,16 @@ def _row_windows(plan, A, n_win, ch, rb_blk=RB):
 
     off_el = jnp.repeat(jnp.repeat(off_gran * GRAN, ch, axis=0),
                         rb_blk, axis=1)
-    a0 = jnp.clip(i0, 0, A - 1) - off_el
-    a1 = jnp.clip(i0 + 1, 0, A - 1) - off_el
     inr = valid.astype(jnp.float32)
-    cols = jnp.arange(n_win * GRAN, dtype=jnp.int32)[None, None, :]
-    w0 = jnp.where(cols == a0[..., None], ((1.0 - f) * inr)[..., None], 0.0)
-    w1 = jnp.where(cols == a1[..., None], (f * inr)[..., None], 0.0)
-    return off_gran, w0 + w1
+    # Tent form (see ops/sweep._tap_weights): relu(1 - |col - p_c|) with
+    # p_c the clamped window-relative position equals the clipped
+    # two-tap one-hot sum everywhere, at one |.| compare per entry —
+    # this build is a ~0.4 ms/frame standalone fusion at the flagship
+    # (f32[256,1536,128] output), so the cheaper inner op matters.
+    p_c = jnp.clip(p, 0.0, jnp.float32(A - 1)) - off_el.astype(jnp.float32)
+    cols = jnp.arange(n_win * GRAN, dtype=jnp.float32)[None, None, :]
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(cols - p_c[..., None]))
+    return off_gran, w * inr[..., None]
 
 
 def supported(plan, cfg: RenderConfig, medium: MediumConfig,
@@ -480,7 +483,8 @@ def _col_taps(e_b, delta, ug_row, B, wrap=False):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
-                has_light, with_ckpt, with_wck, wrap, n_win, cwin, colmm):
+                has_light, with_ckpt, with_wck, wrap, n_win, cwin, colmm,
+                flip):
     ts_s = None
     if cwin:
         refs, ts_s = refs[:-1], refs[-1]
@@ -535,12 +539,16 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
     for c in range(ch):
         z = slice_z_ref[sc * ch + c]
         delta = z - e_k
+        # flip: the volume keeps its original slice order; this chunk's
+        # block is streamed at the mirrored dim-0 index and slices are
+        # read back-to-front within it (see _fused_vjp's flip note).
+        cidx = (ch - 1 - c) if flip else c
 
         @pl.when(delta * sign > 0.0)
-        def _(c=c, delta=delta):
+        def _(c=c, cidx=cidx, delta=delta):
             # y-resample on the MXU with the streamed banded row matrix
             # (rows outside the box are zero rows — built that way).
-            t = _pad_lanes(jnp.dot(wa_ref[c], gmat(g_refs, c),
+            t = _pad_lanes(jnp.dot(wa_ref[c], gmat(g_refs, cidx),
                                    preferred_element_type=jnp.float32), B)
             i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B,
                                          wrap)
@@ -567,7 +575,7 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                          * b_in[None, :] * sscale)
 
             if has_light:
-                tl = _pad_lanes(jnp.dot(wa_ref[c], gmat(l_refs, c),
+                tl = _pad_lanes(jnp.dot(wa_ref[c], gmat(l_refs, cidx),
                                         preferred_element_type=jnp.float32),
                                 B)
                 if colmm == 2:
@@ -607,7 +615,7 @@ def _fwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
 
 def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
              n_win, cwin, colmm, ch, rb_blk, emission, with_ckpt,
-             interpret=False, wrap=False, with_wck=True):
+             interpret=False, wrap=False, with_wck=True, flip=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
     Wr = wa_all.shape[2]  # A (dense) or n_win * GRAN (windowed)
@@ -615,6 +623,13 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
     n_rb = Hb // rb_blk
     n_sc = S // ch
     has_light = lperm is not None
+
+    def sc_blk(sc):
+        # flip: front-to-back chunk sc holds the volume's dim-0 block
+        # n_sc-1-sc (slices reversed within it by the kernel's cidx) —
+        # the XLA-level [::-1] copy of the whole volume (and its
+        # autodiff reverse) measured ~0.3 ms/frame at the flagship.
+        return (n_sc - 1 - sc) if flip else sc
 
     def vol_specs(arr):
         # Windowed: the volume streams as n_win granule blocks whose
@@ -625,11 +640,12 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
             specs = [
                 pl.BlockSpec((ch, GRAN, B),
                              lambda rb, sc, sz, pr, ro, i=i:
-                             (sc, ro[sc, rb] + i, 0),
+                             (sc_blk(sc), ro[sc, rb] + i, 0),
                              memory_space=pltpu.VMEM)
                 for i in range(n_win)]
             return specs, [arr] * n_win
-        return [pl.BlockSpec((ch, A, B), lambda rb, sc, *_: (sc, 0, 0),
+        return [pl.BlockSpec((ch, A, B),
+                             lambda rb, sc, *_: (sc_blk(sc), 0, 0),
                              memory_space=pltpu.VMEM)], [arr]
 
     in_specs, inputs = vol_specs(gperm)
@@ -672,7 +688,7 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         functools.partial(_fwd_kernel, emission=emission, ch=ch,
                           has_light=has_light, with_ckpt=with_ckpt,
                           with_wck=with_wck, wrap=wrap, n_win=n_win,
-                          cwin=cwin, colmm=colmm),
+                          cwin=cwin, colmm=colmm, flip=flip),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -711,7 +727,8 @@ def _run_fwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
 
 
 def _fwd_kernel_sc(slice_z_ref, params_ref, rowoff_ref, *refs, emission,
-                   ch, has_light, with_ckpt, with_wck, wrap, n_win):
+                   ch, has_light, with_ckpt, with_wck, wrap, n_win,
+                   flip):
     i = 0
     g_ref = refs[i]; i += 1
     wa_ref = refs[i]; i += 1
@@ -775,21 +792,22 @@ def _fwd_kernel_sc(slice_z_ref, params_ref, rowoff_ref, *refs, emission,
     for c in range(ch):
         z = slice_z_ref[sc * ch + c]
         delta = z - e_k
+        cidx = (ch - 1 - c) if flip else c  # see _fwd_kernel
 
         i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B, wrap)
 
         @pl.when(rb == 0)
-        def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
+        def _(c=c, cidx=cidx, i0=i0, i1=i1, fb=fb, b_in=b_in):
             src = jax.lax.broadcasted_iota(jnp.int32, (B, Wb_n), 0)
             w0 = ((1.0 - fb) * b_in)[None, :]
             w1 = (fb * b_in)[None, :]
             wbg_s[c] = (jnp.where(src == i0[None, :], w0, 0.0)
                         + jnp.where(src == i1[None, :], w1, 0.0)
                         ).astype(wbg_s.dtype)
-            gw_s[c] = jnp.dot(g_ref[c], wbg_s[c],
+            gw_s[c] = jnp.dot(g_ref[cidx], wbg_s[c],
                               preferred_element_type=jnp.float32)
             if has_light:
-                lgw_s[c] = jnp.dot(l_ref[c], wbg_s[c],
+                lgw_s[c] = jnp.dot(l_ref[cidx], wbg_s[c],
                                    preferred_element_type=jnp.float32)
 
         @pl.when(delta * sign > 0.0)
@@ -822,7 +840,7 @@ def _fwd_kernel_sc(slice_z_ref, params_ref, rowoff_ref, *refs, emission,
 
 def _run_fwd_sc(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
                 rowoff, n_win, ch, rb_blk, emission, with_ckpt,
-                interpret=False, wrap=False, with_wck=True):
+                interpret=False, wrap=False, with_wck=True, flip=False):
     """sc-major assoc forward — see _fwd_kernel_sc. Outputs and
     checkpoints are bit-compatible with _run_fwd's (same shapes; the
     backward replays from them unchanged)."""
@@ -834,9 +852,12 @@ def _run_fwd_sc(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
     n_sc = S // ch
     has_light = lperm is not None
 
+    def sc_blk(sc):
+        return (n_sc - 1 - sc) if flip else sc  # see _run_fwd
+
     vm = pltpu.VMEM
     in_specs = [
-        pl.BlockSpec((ch, A, B), lambda sc, rb, *_: (sc, 0, 0),
+        pl.BlockSpec((ch, A, B), lambda sc, rb, *_: (sc_blk(sc), 0, 0),
                      memory_space=vm),
         pl.BlockSpec((ch, rb_blk, Wr), lambda sc, rb, *_: (sc, rb, 0),
                      memory_space=vm),
@@ -848,7 +869,8 @@ def _run_fwd_sc(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
     inputs = [gperm, wa_all, u_grid.reshape(1, Wb_n), seglen]
     if has_light:
         in_specs.append(pl.BlockSpec((ch, A, B),
-                                     lambda sc, rb, *_: (sc, 0, 0),
+                                     lambda sc, rb, *_:
+                                     (sc_blk(sc), 0, 0),
                                      memory_space=vm))
         inputs.append(lperm)
 
@@ -883,7 +905,8 @@ def _run_fwd_sc(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
     return pl.pallas_call(
         functools.partial(_fwd_kernel_sc, emission=emission, ch=ch,
                           has_light=has_light, with_ckpt=with_ckpt,
-                          with_wck=with_wck, wrap=wrap, n_win=n_win),
+                          with_wck=with_wck, wrap=wrap, n_win=n_win,
+                          flip=flip),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -906,7 +929,7 @@ def _run_fwd_sc(gperm, lperm, slice_z, wa_all, u_grid, seglen, params,
 
 def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                 has_light, wrap, n_win, cwin, swin, colmm, sigT, bigW,
-                assoc, no_wck=False):
+                assoc, no_wck=False, flip=False):
     wbc_s = ts_s = wbg_s = None
     wbm_s = joff_s = mat_s = None
     gw_s = v_s = lgw_s = vl_s = None
@@ -1001,6 +1024,7 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
     for c in range(ch):
         z = slice_z_ref[sc * ch + c]
         delta = z - e_k
+        cidx = (ch - 1 - c) if flip else c  # see _fwd_kernel
         frontf = jnp.where(delta * sign > 0.0, 1.0, 0.0)
 
         i0, i1, fb, b_in = _col_taps(e_b, delta, ug_ref[0, :], B,
@@ -1036,7 +1060,7 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
             # once per (row block, slice) — ~40% of the bwd MXU flops at
             # the flagship (A/B in PROFILE_r5.json).
             @pl.when(rb == 0)
-            def _(c=c, i0=i0, i1=i1, fb=fb, b_in=b_in):
+            def _(c=c, cidx=cidx, i0=i0, i1=i1, fb=fb, b_in=b_in):
                 src = jax.lax.broadcasted_iota(jnp.int32, (B, Wb_n), 0)
                 w0 = ((1.0 - fb) * b_in)[None, :]
                 w1 = (fb * b_in)[None, :]
@@ -1044,13 +1068,13 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                             + jnp.where(src == i1[None, :], w1, 0.0)
                             ).astype(wbg_s.dtype)
                 if assoc:
-                    gm = g_ref[c]
+                    gm = g_ref[cidx]
                     gw_s[c] = jnp.dot(gm, wbg_s[c],
                                       preferred_element_type=jnp.float32)
                     v_s[c] = jnp.zeros(v_s.shape[1:], jnp.float32)
                     if has_light:
                         lgw_s[c] = jnp.dot(
-                            l_ref[c], wbg_s[c],
+                            l_ref[cidx], wbg_s[c],
                             preferred_element_type=jnp.float32)
                         vl_s[c] = jnp.zeros(vl_s.shape[1:], jnp.float32)
 
@@ -1124,7 +1148,7 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
             # matmul column stage sums the same two taps — equal up to
             # f32 summation order).
             t = (None if assoc else
-                 _pad_lanes(jnp.dot(wa_ref[c], vol_win(g_ref, c),
+                 _pad_lanes(jnp.dot(wa_ref[c], vol_win(g_ref, cidx),
                                     preferred_element_type=jnp.float32),
                             B))
             if assoc:
@@ -1157,7 +1181,7 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
             if has_light:
                 tl = (None if assoc else
                       _pad_lanes(jnp.dot(
-                          wa_ref[c], vol_win(l_ref, c),
+                          wa_ref[c], vol_win(l_ref, cidx),
                           preferred_element_type=jnp.float32), B))
                 if assoc:
                     lT = jnp.dot(wa_ref[c], vol_win(lgw_s, c),
@@ -1241,34 +1265,34 @@ def _bwd_kernel(slice_z_ref, params_ref, rowoff_ref, *refs, emission, ch,
                 v_acc(vl_s, dlT)
 
             @pl.when(rb == pl.num_programs(1) - 1)
-            def _(c=c):
+            def _(c=c, cidx=cidx):
                 vv = v_s[c]
                 vv = vv.astype(jnp.bfloat16) if low else vv
-                dg_ref[c] = jax.lax.dot_general(
+                dg_ref[cidx] = jax.lax.dot_general(
                     vv, wbg_s[c], cd11,
                     preferred_element_type=jnp.float32)
                 if has_light:
                     vl = vl_s[c]
                     vl = vl.astype(jnp.bfloat16) if low else vl
-                    dl_ref[c] = jax.lax.dot_general(
+                    dl_ref[cidx] = jax.lax.dot_general(
                         vl, wbg_s[c], cd11,
                         preferred_element_type=jnp.float32)
         else:
             u = scatter(dsig * sscale)
             u = u.astype(jnp.bfloat16) if low else u
-            acc_out(dg_ref, c, jax.lax.dot_general(
+            acc_out(dg_ref, cidx, jax.lax.dot_general(
                 wa_ref[c], u, tA, preferred_element_type=jnp.float32))
             if has_light:
                 ul = scatter(dlT)
                 ul = ul.astype(jnp.bfloat16) if low else ul
-                acc_out(dl_ref, c, jax.lax.dot_general(
+                acc_out(dl_ref, cidx, jax.lax.dot_general(
                     wa_ref[c], ul, tA, preferred_element_type=jnp.float32))
 
 
 def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
              n_win, cwin, swin, colmm, sigT, bigW, assoc, ch, rb_blk,
              emission, cw, bct, tck, wck, ctacc, interpret=False,
-             wrap=False):
+             wrap=False, flip=False):
     S, A, B = gperm.shape
     Hb = wa_all.shape[1]
     Wr = wa_all.shape[2]  # A (dense) or n_win * GRAN (windowed)
@@ -1277,9 +1301,12 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
     n_sc = S // ch
     has_light = lperm is not None
 
+    def sc_blk(sc):
+        return (n_sc - 1 - sc) if flip else sc  # see _run_fwd
+
     vm = pltpu.VMEM
     in_specs = [
-        pl.BlockSpec((ch, A, B), lambda sc, rb, *_: (sc, 0, 0),
+        pl.BlockSpec((ch, A, B), lambda sc, rb, *_: (sc_blk(sc), 0, 0),
                      memory_space=vm),
         pl.BlockSpec((ch, rb_blk, Wr), lambda sc, rb, *_: (sc, rb, 0),
                      memory_space=vm),
@@ -1301,10 +1328,13 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         inputs += [ctacc]
     if has_light:
         in_specs.append(pl.BlockSpec((ch, A, B), lambda sc, rb, *_:
-                                     (sc, 0, 0), memory_space=vm))
+                                     (sc_blk(sc), 0, 0), memory_space=vm))
         inputs.append(lperm)
 
-    dgs = pl.BlockSpec((ch, A, B), lambda sc, rb, *_: (sc, 0, 0),
+    # dG blocks write at the mirrored index too: the gradient leaves the
+    # kernel already in the volume's own slice order (no XLA reverse in
+    # the vjp).
+    dgs = pl.BlockSpec((ch, A, B), lambda sc, rb, *_: (sc_blk(sc), 0, 0),
                        memory_space=vm)
     out_specs = [dgs]
     out_shape = [jax.ShapeDtypeStruct((S, A, B), jnp.float32)]
@@ -1350,7 +1380,8 @@ def _run_bwd(gperm, lperm, slice_z, wa_all, u_grid, seglen, params, rowoff,
         functools.partial(_bwd_kernel, emission=emission, ch=ch,
                           has_light=has_light, wrap=wrap, n_win=n_win,
                           cwin=cwin, swin=swin, colmm=colmm, sigT=sigT,
-                          bigW=bigW, assoc=assoc, no_wck=no_wck),
+                          bigW=bigW, assoc=assoc, no_wck=no_wck,
+                          flip=flip),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -1529,28 +1560,29 @@ def sweep_base_pallas(gperm, plan, cfg, medium, light, lperm=None,
     else:
         flip = plan.sign < 0
 
-    # The slice-order flip is OUTSIDE the custom_vjp (plain jnp reverse —
-    # its autodiff transpose is another reverse); everything traced goes
-    # in as an explicit argument (see _fused_vjp).
-    g = gperm[::-1] if flip else gperm
+    # The slice-order flip is INSIDE the kernels (round 5): the volume
+    # keeps its original layout and the kernels stream dim-0 blocks at
+    # mirrored indices (dG writes mirrored too, so the gradient needs no
+    # reverse either). The former XLA-level [::-1] copy + its autodiff
+    # reverse measured ~0.3 ms/frame at the flagship (134 MB each).
+    # Everything traced goes in as an explicit argument (see _fused_vjp).
     # VOLT_FORCE_WCK=1 disables the no-light wsum-checkpoint elision
     # (A/B tool; read at trace time like the bwd-form knob).
     force_wck = bool(int(_os.environ.get("VOLT_FORCE_WCK", "0")))
     f = _fused_vjp(cfg.emission, lperm is not None, n_win, cwin, swin,
                    colmm, colmm_f, sigT, bigW, assoc, ch, rb_blk,
-                   interpret, wrap_mode, cfg.dtype, force_wck)
+                   interpret, wrap_mode, cfg.dtype, force_wck, flip)
     if lperm is None:
-        return f(g, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
+        return f(gperm, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
                  params, rowoff)
-    l = lperm[::-1] if flip else lperm
-    return f(g, l, plan.slice_z, wa_all, plan.u_grid, plan.seglen,
-             params, rowoff)
+    return f(gperm, lperm, plan.slice_z, wa_all, plan.u_grid,
+             plan.seglen, params, rowoff)
 
 
 @functools.lru_cache(maxsize=None)
 def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
                sigT, bigW, assoc, ch, rb_blk, interpret, wrap,
-               dtype_name, force_wck=False):
+               dtype_name, force_wck=False, flip=False):
     """custom_vjp instance for one static kernel configuration.
 
     EVERY traced array is an explicit argument: a custom_vjp must not
@@ -1572,12 +1604,13 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
                                None if l is None else l.astype(kdt),
                                slice_z, wa, ug, seg, params, rowoff,
                                n_win, ch, rb_blk, emission, with_ckpt,
-                               interpret, wrap, with_wck=with_wck)
+                               interpret, wrap, with_wck=with_wck,
+                               flip=flip)
         return _run_fwd(g.astype(kdt),
                         None if l is None else l.astype(kdt),
                         slice_z, wa, ug, seg, params, rowoff, n_win,
                         cwin, colmm_f, ch, rb_blk, emission, with_ckpt,
-                        interpret, wrap, with_wck=with_wck)
+                        interpret, wrap, with_wck=with_wck, flip=flip)
 
     def run_bwd(g, l, ct, trans, wsum, tck, wck, slice_z, wa, ug, seg,
                 params, rowoff):
@@ -1591,12 +1624,12 @@ def _fused_vjp(emission, has_light, n_win, cwin, swin, colmm, colmm_f,
                             n_win, cwin, swin,
                             colmm and not (sigT or bigW or assoc), sigT,
                             bigW, assoc, ch, rb_blk, True, cw, bct, tck,
-                            wck, None, interpret, wrap)
+                            wck, None, interpret, wrap, flip=flip)
         return _run_bwd(g, l, slice_z, wa, ug, seg, params, rowoff,
                         n_win, cwin, swin,
                         colmm and not (sigT or bigW or assoc), sigT,
                         bigW, assoc, ch, rb_blk, False, None, None, None,
-                        None, ct_acc, interpret, wrap)
+                        None, ct_acc, interpret, wrap, flip=flip)
 
     def plan_zeros(slice_z, wa, ug, seg, params, rowoff):
         return (jnp.zeros_like(slice_z), jnp.zeros_like(wa),
