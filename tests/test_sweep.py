@@ -3,6 +3,7 @@
 the same integral as per-ray marching, including gradients.
 """
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -264,3 +265,75 @@ def test_sweep_nonuniform_box():
     o, d = base_rays(plan)
     want = render_rays_sliced(grid, o, d, plan, cfg, medium)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_warp_pixmajor_matches_basemajor():
+    """The pixel-major forward warp (disjoint pixel tiles gathering base
+    windows) computes the same bilinear operator as the base-major rect
+    scan — values at every in-footprint pixel and grid gradients must
+    match (the custom-vjp backward is shared, so a forward mismatch
+    would silently break gradient exactness)."""
+    from volumetricrenderer_tpu.ops import sweep as sw
+
+    grid = smooth_volume(10)
+    cfg = RenderConfig(emission=True)
+    cam = make_camera(CameraConfig(eye=(2.2, 2.8, 2.4), width=64,
+                                   height=40))
+    plan = plan_sweep(cam, grid.shape, cfg)
+    assert plan.pix_band != (0, 0)  # the plan carries the transposed table
+
+    base = jnp.asarray(
+        np.random.default_rng(5).random(plan.base_shape + (2,)),
+        jnp.float32)
+
+    def run(mode):
+        old = os.environ.get("VOLT_WARP_FWD")
+        os.environ["VOLT_WARP_FWD"] = mode
+        try:
+            jax.clear_caches()
+            out = sw.warp_base_to_pixels(base, plan, miss=(0.0, 0.0))
+            g = jax.grad(lambda b: jnp.sum(
+                sw.warp_base_to_pixels(b, plan, miss=(0.0, 0.0)) ** 2))(
+                    base)
+            return np.asarray(out), np.asarray(g)
+        finally:
+            if old is None:
+                os.environ.pop("VOLT_WARP_FWD", None)
+            else:
+                os.environ["VOLT_WARP_FWD"] = old
+            jax.clear_caches()
+
+    out_b, g_b = run("base")
+    out_p, g_p = run("pix")
+    np.testing.assert_allclose(out_b, out_p, atol=1e-5)
+    np.testing.assert_allclose(g_b, g_p, atol=1e-5)
+
+
+def test_with_warp_band_unifies_pix_band():
+    """4-tuple band unification grows BOTH rect tables (>= covers stay
+    exact) and a 2-tuple leaves pix_band untouched; (0, 0) disables."""
+    from volumetricrenderer_tpu.ops.sweep import with_warp_band
+
+    grid = smooth_volume(8)
+    cfg = RenderConfig(emission=True)
+    cam = make_camera(CameraConfig(eye=(2.5, 2.6, 2.7), width=48,
+                                   height=32))
+    plan = plan_sweep(cam, grid.shape, cfg)
+    br, bc = plan.warp_band
+    pr, pc = plan.pix_band
+    grown = with_warp_band(plan, (br + 8, bc + 8, pr + 16, pc + 16))
+    assert grown.warp_band == (br + 8, bc + 8)
+    assert grown.pix_band == (pr + 16, pc + 16)
+    # grown cover renders identically
+    base = jnp.asarray(
+        np.random.default_rng(7).random(plan.base_shape + (2,)),
+        jnp.float32)
+    from volumetricrenderer_tpu.ops.sweep import warp_base_to_pixels
+    np.testing.assert_allclose(
+        np.asarray(warp_base_to_pixels(base, plan, miss=(0.0, 0.0))),
+        np.asarray(warp_base_to_pixels(base, grown, miss=(0.0, 0.0))),
+        atol=1e-6)
+    legacy = with_warp_band(plan, (br + 8, bc + 8))
+    assert legacy.pix_band == plan.pix_band
+    disabled = with_warp_band(plan, (br, bc, 0, 0))
+    assert disabled.pix_band == (0, 0)

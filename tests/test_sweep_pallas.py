@@ -423,3 +423,35 @@ def test_windowed_scatter_backward_parity():
         scale = float(jnp.abs(b).max()) + 1e-12
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6 * scale)
+
+
+def test_wck_elision_matches_stored_checkpoint():
+    """The no-light backward derives its chunk-entry wsum from the
+    transmittance checkpoint (wsum == 1 - T telescoping). Gradients must
+    match the stored-checkpoint form (VOLT_FORCE_WCK=1) to accumulation
+    rounding."""
+    import os
+
+    cfg, medium, plan, grid, light, _ = _setup((3.0, 3.0, 3.0), True)
+
+    def grad_of(force):
+        old = os.environ.get("VOLT_FORCE_WCK")
+        os.environ["VOLT_FORCE_WCK"] = "1" if force else "0"
+        sp._fused_vjp.cache_clear()
+        try:
+            def loss(g):
+                maps = _pallas_base(g, plan, cfg, medium, light, None)
+                return (jnp.sum(maps[1] ** 2) + jnp.sum(maps[2] ** 2))
+            return np.asarray(jax.grad(loss)(grid))
+        finally:
+            if old is None:
+                os.environ.pop("VOLT_FORCE_WCK", None)
+            else:
+                os.environ["VOLT_FORCE_WCK"] = old
+            sp._fused_vjp.cache_clear()
+
+    g_elided = grad_of(False)
+    g_stored = grad_of(True)
+    scale = np.abs(g_stored).max()
+    np.testing.assert_allclose(g_elided, g_stored, rtol=1e-4,
+                               atol=1e-5 * scale)
