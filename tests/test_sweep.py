@@ -337,3 +337,30 @@ def test_with_warp_band_unifies_pix_band():
     assert legacy.pix_band == plan.pix_band
     disabled = with_warp_band(plan, (br, bc, 0, 0))
     assert disabled.pix_band == (0, 0)
+
+
+def test_tap_weights_tent_equals_clipped_two_tap():
+    """_tap_weights' tent form == the explicit clipped two-tap one-hot
+    construction (incl. out-of-range coords, exact texel centers, and
+    window-boundary taps)."""
+    from volumetricrenderer_tpu.ops.sweep import _tap_weights
+
+    rng = np.random.default_rng(0)
+    for n, off, tile in ((96, 0, 96), (1536, 192, 96), (1536, 1440, 96),
+                         (256, 64, 128)):
+        q = jnp.asarray(np.concatenate([
+            rng.uniform(-0.3, 1.3, 2000),
+            (np.arange(n + 2) - 0.5) / n,       # texel centers
+            np.arange(n + 2) / n]), jnp.float32)
+        p = q * n - 0.5
+        i0f = jnp.floor(p)
+        f = (p - i0f).astype(jnp.float32)
+        i0 = jnp.clip(i0f.astype(jnp.int32), 0, n - 1) - off
+        i1 = jnp.clip(i0f.astype(jnp.int32) + 1, 0, n - 1) - off
+        iota = jnp.arange(tile, dtype=jnp.int32)[None, :]
+        ref = (jnp.where(iota == i0[:, None], (1.0 - f)[:, None], 0.0)
+               + jnp.where(iota == i1[:, None], f[:, None], 0.0))
+        np.testing.assert_allclose(np.asarray(_tap_weights(q, n, off,
+                                                           tile)),
+                                   np.asarray(ref), atol=1e-6,
+                                   err_msg=f"n={n} off={off}")

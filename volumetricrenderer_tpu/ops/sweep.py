@@ -688,7 +688,6 @@ _WARP_UNROLL = int(_os.environ.get("VOLT_WARP_UNROLL", 8))
 # stays 1; knob kept for re-measure on other hardware.
 _WARP_LANES = int(_os.environ.get("VOLT_WARP_LANES", 1))
 _WARP_DIV_UNROLL = bool(int(_os.environ.get("VOLT_WARP_DIV_UNROLL", "1")))
-_TAP_TENT = bool(int(_os.environ.get("VOLT_TAP_TENT", "1")))
 # The VOLT_WARP_DTYPE=bf16 knob was REMOVED in round 5 after its chip
 # A/B measured exactly 1.00x (interleaved flagship frames, f32 vs bf16
 # warp operands: fwd 6.87 vs 6.95 ms, fwd+bwd 15.00 vs 14.98 —
@@ -940,16 +939,10 @@ def _tap_weights(q01, n, off, tile):
     clips to the edge texel with weight 1, exactly the clipped-two-tap
     sum; window-boundary taps drop the same out-of-window term), with
     one |.|-compare instead of two compare+select pairs per entry.
-    VOLT_TAP_TENT=0 restores the one-hot build for A/Bs."""
-    if not _TAP_TENT:
-        p = q01 * n - 0.5
-        i0f = jnp.floor(p)
-        f = (p - i0f).astype(jnp.float32)
-        i0 = jnp.clip(i0f.astype(jnp.int32), 0, n - 1) - off
-        i1 = jnp.clip(i0f.astype(jnp.int32) + 1, 0, n - 1) - off
-        iota = jnp.arange(tile, dtype=jnp.int32)[None, :]
-        return (jnp.where(iota == i0[:, None], (1.0 - f)[:, None], 0.0)
-                + jnp.where(iota == i1[:, None], f[:, None], 0.0))
+    Chip-neutral (interleaved warp A/B: tent 3.04/5.10 vs one-hot
+    2.99/5.13 ms fwd / fwd+bwd — the VPU savings hide in the scan's
+    schedule gap); kept for the smaller expression, the one-hot variant
+    removed per the 1.00x-knob convention (see the bf16 precedents)."""
     p = jnp.clip(q01 * n - 0.5, 0.0, float(n - 1))[:, None] - off
     iota = jnp.arange(tile, dtype=jnp.float32)[None, :]
     return jnp.maximum(0.0, 1.0 - jnp.abs(iota - p))
